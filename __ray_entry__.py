@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() pairs each implemented operator (SURVEY.md §2) with a DuckDB
+oracle in oracle_sql().  The pages table is synthesized deterministically
+from `documents` (jimmy_ray.data.synth), and every derivation has an SQL
+mirror, so the oracle recomputes golden values independently.  Ray is
+initialised by the driver — nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +12,138 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from jimmy_ray.data import synth
+from jimmy_ray.geo import core as geo_core
+from jimmy_ray.geo import polygon as poly_mod
+
+SF0001 = "/root/testdata/sf0.001"
+
+# shared SQL fragments ------------------------------------------------------
+_K = synth.SQL_KEY
+_PAGES_CTE = (
+    f"WITH {synth.SQL_VARIANTS_CTE}, pages AS (\n"
+    f"  SELECT doc_id, v, {_K} AS k, {synth.sql_page_url()} AS url,\n"
+    f"         {synth.sql_page_ts()} AS warc_ts, lang,\n"
+    f"         {synth.sql_golden_markdown()} AS text\n"
+    f"  FROM documents CROSS JOIN variants\n"
+    f")"
+)
+_TITLE_SQL = (
+    f"CASE WHEN ({_K}) % 101 = 0 THEN "
+    f"(CASE (({_K}) // 101) % 4 WHEN 0 THEN 'CON' WHEN 1 THEN 'a/b:c*x' "
+    f"WHEN 2 THEN repeat('g', 200) ELSE '' END) "
+    f"ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END"
+)
+_LAT_SQL, _LON_SQL = synth.sql_geo_exprs()
+_POINTS_CTE = (
+    f"WITH {synth.SQL_VARIANTS_CTE}, pts AS (\n"
+    f"  SELECT {synth.sql_page_url()} AS url, {_LAT_SQL} AS lat_e6, {_LON_SQL} AS lon_e6\n"
+    f"  FROM documents CROSS JOIN variants WHERE {synth.sql_has_geo()}\n"
+    f")"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: extract → geocode → cell index →
+    spatial join → per-polygon counts."""
+    from jimmy_ray.pipelines import flagship
+
+    return flagship.flagship_result(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from jimmy_ray.pipelines import flagship, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # jimmy extraction parity (SURVEY §2.2 M1-M3, byte-identity oracle)
+        "extract_text": lambda sf: flagship.extracted(sf).select_columns(
+            ["url", "title", "text"]
+        ),
+        # geocode (M23-analogue scalar parse; intermediate_format.py:183-185)
+        "geocode": flagship.geo_points,
+        # geocell + tile assignment (north-rule cell index, ST6/A4)
+        "tile_assignment": flagship.tile_assignments,
+        # point-in-polygon joins (J8): broadcast + salted-shuffle variants
+        "spatial_join": flagship.spatial_join,
+        "spatial_join_shuffle": lambda sf: __import__(
+            "jimmy_ray.stages.spatial", fromlist=["spatial_join_shuffle"]
+        ).spatial_join_shuffle(flagship.geo_points(sf)),
+        # kNN (J9): bounded per-batch top-k + merge
+        "knn": flagship.knn,
+        # tile aggregation (A4)
+        "tile_counts": flagship.tile_counts,
+        # generic relational operators (A1-A3, J1-J4 analogues on TPC-H tables)
+        "q_lineitem_agg": relational.lineitem_agg,
+        "q_orders_join": relational.orders_join,
+        "q_top_orders": relational.top_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    edges = poly_mod.sql_polygon_edges()
+    crossing = poly_mod.sql_pip_crossing("pts.lon_e6", "pts.lat_e6")
+    qp_values = synth.sql_query_points_values()
+    hav = geo_core.sql_haversine_m("qp.qlat", "qp.qlon", "pts.lat_e6", "pts.lon_e6")
+
+    spatial_join_sql = (
+        f"{_POINTS_CTE},\n"
+        f"edges(polygon_id, x1, y1, x2, y2) AS (VALUES\n    {edges})\n"
+        f"SELECT pts.url AS url, edges.polygon_id AS polygon_id\n"
+        f"FROM pts, edges\n"
+        f"GROUP BY pts.url, edges.polygon_id\n"
+        f"HAVING SUM({crossing}) % 2 = 1"
+    )
+
+    return {
+        "extract_text": (
+            f"{_PAGES_CTE} SELECT url, {_TITLE_SQL} AS title, text FROM pages"
+        ),
+        "geocode": f"{_POINTS_CTE} SELECT url, lat_e6, lon_e6 FROM pts",
+        "tile_assignment": (
+            f"{_POINTS_CTE} SELECT url, lat_e6, lon_e6,\n"
+            + ",\n".join(
+                f"  {geo_core.sql_geocell_id('lat_e6', 'lon_e6', r)} AS cell_r{r}"
+                for r in geo_core.GEOCELL_RESOLUTIONS
+            )
+            + ",\n"
+            + ",\n".join(
+                f"  {geo_core.sql_tile_id('lat_e6', 'lon_e6', z)} AS tile_z{z}"
+                for z in geo_core.TILE_ZOOMS
+            )
+            + "\nFROM pts"
+        ),
+        "spatial_join": spatial_join_sql,
+        "spatial_join_shuffle": spatial_join_sql,
+        "knn": (
+            f"{_POINTS_CTE},\n"
+            f"qp(qid, qlat, qlon, k) AS (VALUES {qp_values}),\n"
+            f"d AS (SELECT qp.qid, pts.url, qp.k, {hav} AS dist FROM qp, pts),\n"
+            f"r AS (SELECT qid, url, k, round(dist, 3) AS dist_m,\n"
+            f"      row_number() OVER (PARTITION BY qid ORDER BY dist, url) AS rn\n"
+            f"      FROM d)\n"
+            f'SELECT qid, url, CAST(rn AS BIGINT) AS "rank", dist_m FROM r WHERE rn <= k'
+        ),
+        "tile_counts": (
+            f"{_POINTS_CTE} SELECT "
+            f"{geo_core.sql_tile_id('lat_e6', 'lon_e6', 10)} AS tile_z10, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_pages FROM pts GROUP BY 1"
+        ),
+        "q_lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(l_quantity) AS sum_qty, "
+            "SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_orders_join": (
+            "SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS total_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
+        ),
+        "q_top_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+    }

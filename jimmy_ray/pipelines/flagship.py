@@ -1,0 +1,83 @@
+"""Flagship pipeline: pages → extract → geocode → cell index → spatial
+join → tile aggregation (BASELINE.json north_star, SURVEY.md §3.4).
+
+Every step is a streaming Dataset stage — nothing materializes the full
+input; the wide ``html`` column is dropped at the geocode projection
+(SURVEY.md §4 memory row).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from jimmy_ray.data import synth
+from jimmy_ray.stages import extract as ex
+from jimmy_ray.stages import spatial as sp
+
+
+def pages(sf_dir: str):
+    return synth.pages_dataset(sf_dir)
+
+
+def extracted(sf_dir: str):
+    """Extraction stage output: (url, warc_ts, lang, title, text, error)."""
+    return pages(sf_dir).map_batches(
+        ex.extract_markdown_batch, batch_format="pyarrow", batch_size=256
+    )
+
+
+def geo_points(sf_dir: str):
+    """Located pages only: (url, lat_e6, lon_e6). html dropped early."""
+    return pages(sf_dir).map_batches(
+        ex.geocode_points_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def tile_assignments(sf_dir: str):
+    return geo_points(sf_dir).map_batches(
+        sp.tile_assign_batch, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def spatial_join(sf_dir: str, concurrency=(1, 4)):
+    """Broadcast cell-indexed point-in-polygon join (actor pool)."""
+    return geo_points(sf_dir).map_batches(
+        sp.SpatialJoinStage,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
+def knn(sf_dir: str, n_queries: int = 50, concurrency=(1, 4)):
+    qpoints = synth.query_points(n_queries)
+    cands = geo_points(sf_dir).map_batches(
+        sp.KNNCandidateStage,
+        fn_constructor_kwargs={"qpoints": qpoints},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+    )
+    return sp.knn_finalize(cands, {q["qid"]: q["k"] for q in qpoints})
+
+
+def tile_counts(sf_dir: str, zoom: int = 10):
+    from ray.data.aggregate import Count
+
+    return (
+        tile_assignments(sf_dir)
+        .groupby(f"tile_z{zoom}")
+        .aggregate(Count(alias_name="n_pages"))
+    )
+
+
+def flagship_result(sf_dir: str):
+    """entry() result: join counts per polygon — exercises extract →
+    geocode → cells → broadcast join → aggregate end-to-end."""
+    from ray.data.aggregate import Count
+
+    return (
+        spatial_join(sf_dir)
+        .groupby("polygon_id")
+        .aggregate(Count(alias_name="n_pages"))
+    )

@@ -1,0 +1,312 @@
+"""Spatial operators: cell/tile assignment, point-in-polygon joins, kNN.
+
+North-rule layer (BASELINE.json): cell index → point-in-polygon join
+(candidate prune + exact refine) → kNN (per-batch bounded top-k + merge)
+→ tile materialization.  All cell/tile math is exact int64 microdegrees
+(jimmy_ray.geo.core); the join refine is exact integer ray casting
+(jimmy_ray.geo.polygon).  The reference's analogous patterns: candidate
+prune + refine mirrors its fuzzy-match argmax (SURVEY.md §2.4 J5,
+/root/reference/src/jimmy/common.py:373-400); group-sort-emit mirrors its
+in-group ordering semantics (/root/reference/src/jimmy/formats/evernote.py:187-191).
+
+Two join strategies:
+
+- :class:`SpatialJoinStage` — broadcast join (polygon side small): the
+  actor builds a res-R cell → candidate-polygon index once in
+  ``__init__`` and streams page batches through it.  No shuffle; this is
+  the 100 TB default when the polygon set fits in memory.
+- :func:`spatial_join_shuffle` — partitioned join (polygon side large):
+  both sides keyed by res-R cell, hot cells salted from a sampled
+  histogram, one ``groupby(key).map_groups`` exchange.  Demonstrates the
+  explicit skew handling the north rule requires; results are asserted
+  identical to the broadcast path in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from jimmy_ray.geo import core, polygon as poly_mod
+
+JOIN_RES = 7
+KNN_EXTRA = 16  # per-batch top-(k+extra) guards exact-tie boundary drops
+
+
+# --- cell / tile assignment (vectorized, stateless) ------------------------
+
+def tile_assign_batch(batch: pa.Table) -> pa.Table:
+    """(url, lat_e6, lon_e6) -> + geocell r7/r8/r9 + tiles z7/z10/z12."""
+    lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+    lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+    cols = {name: batch[name] for name in batch.column_names}
+    for res in core.GEOCELL_RESOLUTIONS:
+        cols[f"cell_r{res}"] = pa.array(core.geocell_id(lat, lon, res), pa.int64())
+    for zoom in core.TILE_ZOOMS:
+        cols[f"tile_z{zoom}"] = pa.array(core.tile_id(lat, lon, zoom), pa.int64())
+    return pa.table(cols)
+
+
+# --- broadcast point-in-polygon join ---------------------------------------
+
+class SpatialJoinStage:
+    """Actor-pool stage: cell-indexed polygon candidates + exact refine.
+
+    ``__init__`` runs once per actor (SURVEY.md §2.3 ST6): builds the
+    cell→candidates inverted index and packs polygon vertex arrays.
+    Pass ``polygons_ref`` (a ``ray.put`` handle of a list of polygon
+    dicts) to broadcast a custom polygon set once per actor instead of
+    re-shipping it per batch; defaults to the deterministic fixture set.
+    """
+
+    def __init__(self, polygons_ref=None, res: int = JOIN_RES):
+        if polygons_ref is not None:
+            import ray
+
+            polys = ray.get(polygons_ref)
+        else:
+            polys = poly_mod.fixture_polygons()
+        self.res = res
+        self.polys = polys
+        self.bboxes = [poly_mod.polygon_bbox(p["verts"]) for p in polys]
+        self.cell_candidates: dict[int, list[int]] = {}
+        for i, p in enumerate(polys):
+            for cell in poly_mod.polygon_cell_cover(p["verts"], res):
+                self.cell_candidates.setdefault(int(cell), []).append(i)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+        lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+        urls = batch["url"]
+        cells = core.geocell_id(lat, lon, self.res)
+        out_idx: list[np.ndarray] = []
+        out_pid: list[str] = []
+        uniq, inverse = np.unique(cells, return_inverse=True)
+        for u_i, cell in enumerate(uniq):
+            cand = self.cell_candidates.get(int(cell))
+            if not cand:
+                continue
+            rows = np.nonzero(inverse == u_i)[0]
+            for pi in cand:
+                min_x, min_y, max_x, max_y = self.bboxes[pi]
+                sub_lat = lat[rows]
+                sub_lon = lon[rows]
+                bbox_ok = (
+                    (sub_lat >= min_y) & (sub_lat <= max_y)
+                    & (sub_lon >= min_x) & (sub_lon <= max_x)
+                )
+                if not bbox_ok.any():
+                    continue
+                cand_rows = rows[bbox_ok]
+                inside = poly_mod.point_in_polygon(
+                    lon[cand_rows], lat[cand_rows], self.polys[pi]["verts"]
+                )
+                hit = cand_rows[inside]
+                if hit.size:
+                    out_idx.append(hit)
+                    out_pid.extend([self.polys[pi]["polygon_id"]] * hit.size)
+        if out_idx:
+            idx = np.concatenate(out_idx)
+            return pa.table(
+                {
+                    "url": urls.take(pa.array(idx)),
+                    "polygon_id": pa.array(out_pid, pa.string()),
+                }
+            )
+        return pa.table({"url": pa.array([], pa.string()),
+                         "polygon_id": pa.array([], pa.string())})
+
+
+# --- shuffle point-in-polygon join (salted groupby-on-cell) ----------------
+
+def detect_hot_cells(points_ds, res: int = JOIN_RES, sample_frac: float = 0.05,
+                     hot_threshold: int = 2000, seed: int = 42) -> dict[int, int]:
+    """Sampled cell histogram → {hot_cell: n_salts}.  The skew guard the
+    north rule requires: urban clusters concentrate pages into few cells."""
+    sample = points_ds.random_sample(sample_frac, seed=seed)
+
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        cells = core.geocell_id(
+            batch["lat_e6"].to_numpy(zero_copy_only=False),
+            batch["lon_e6"].to_numpy(zero_copy_only=False),
+            res,
+        )
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(uniq), "n": pa.array(counts)})
+
+    partials = sample.map_batches(cell_counts, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby("cell").aggregate(Sum("n", alias_name="n")).to_pandas()
+    scale = 1.0 / sample_frac
+    hot = {}
+    for cell, n in zip(agg["cell"], agg["n"]):
+        est = n * scale
+        if est > hot_threshold:
+            hot[int(cell)] = max(2, min(32, int(est // hot_threshold) + 1))
+    return hot
+
+
+def spatial_join_shuffle(points_ds, res: int = JOIN_RES,
+                         hot_cells: dict[int, int] | None = None):
+    """Partitioned PIP join: groupby-on-cell with explicit hot-cell salting.
+
+    Points get ``key = "cell.salt"`` (salt = url-hash % n_salts for hot
+    cells); the polygon cover side is replicated across each hot cell's
+    salts, so every group sees every matching polygon.  One all-to-all
+    exchange; within-group refine is the exact integer kernel.
+    """
+    if hot_cells is None:
+        hot_cells = detect_hot_cells(points_ds, res)
+
+    polys = poly_mod.fixture_polygons()
+    cover_rows: list[tuple[int, int, str]] = []  # (cell, salt, polygon_id)
+    for p in polys:
+        for cell in poly_mod.polygon_cell_cover(p["verts"], res):
+            n_salt = hot_cells.get(int(cell), 1)
+            for s in range(n_salt):
+                cover_rows.append((int(cell), s, p["polygon_id"]))
+
+    import ray.data as rd
+
+    cover_ds = rd.from_arrow(
+        pa.table(
+            {
+                "cell": pa.array([r[0] for r in cover_rows], pa.int64()),
+                "salt": pa.array([r[1] for r in cover_rows], pa.int64()),
+                "polygon_id": pa.array([r[2] for r in cover_rows], pa.string()),
+                "url": pa.array([None] * len(cover_rows), pa.string()),
+                "lat_e6": pa.array([None] * len(cover_rows), pa.int64()),
+                "lon_e6": pa.array([None] * len(cover_rows), pa.int64()),
+                "side": pa.array(["G"] * len(cover_rows), pa.string()),
+            }
+        )
+    )
+
+    hot_items = sorted(hot_cells.items())
+    hot_cell_arr = np.array([c for c, _ in hot_items], dtype=np.int64)
+    hot_salt_arr = np.array([n for _, n in hot_items], dtype=np.int64)
+
+    def key_points(batch: pa.Table) -> pa.Table:
+        lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+        lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+        cells = core.geocell_id(lat, lon, res)
+        salts = np.zeros(len(cells), dtype=np.int64)
+        if hot_cell_arr.size:
+            pos = np.searchsorted(hot_cell_arr, cells)
+            pos_c = np.clip(pos, 0, hot_cell_arr.size - 1)
+            is_hot = hot_cell_arr[pos_c] == cells
+            if is_hot.any():
+                # deterministic url hash (stable across processes)
+                uhash = np.array(
+                    [_stable_hash(u) for u in
+                     pa.Table.from_arrays([batch["url"]], ["u"])["u"].to_pylist()],
+                    dtype=np.uint64,
+                )
+                salts[is_hot] = (uhash[is_hot] % hot_salt_arr[pos_c[is_hot]].astype(np.uint64)).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "salt": pa.array(salts, pa.int64()),
+                "polygon_id": pa.array([None] * len(cells), pa.string()),
+                "url": batch["url"],
+                "lat_e6": batch["lat_e6"],
+                "lon_e6": batch["lon_e6"],
+                "side": pa.array(["P"] * len(cells), pa.string()),
+            }
+        )
+
+    keyed = points_ds.map_batches(key_points, batch_format="pyarrow")
+    both = keyed.union(cover_ds)
+
+    verts_by_id = {p["polygon_id"]: p["verts"] for p in polys}
+
+    def join_group(group: pd.DataFrame) -> pd.DataFrame:
+        pts = group[group["side"] == "P"]
+        geoms = group[group["side"] == "G"]
+        if pts.empty or geoms.empty:
+            return pd.DataFrame({"url": pd.Series([], dtype=str),
+                                 "polygon_id": pd.Series([], dtype=str)})
+        out_url: list[str] = []
+        out_pid: list[str] = []
+        lat = pts["lat_e6"].to_numpy(dtype=np.int64)
+        lon = pts["lon_e6"].to_numpy(dtype=np.int64)
+        urls = pts["url"].to_numpy()
+        for pid in sorted(set(geoms["polygon_id"])):
+            inside = poly_mod.point_in_polygon(lon, lat, verts_by_id[pid])
+            out_url.extend(urls[inside])
+            out_pid.extend([pid] * int(inside.sum()))
+        return pd.DataFrame({"url": out_url, "polygon_id": out_pid})
+
+    return both.groupby(["cell", "salt"]).map_groups(join_group, batch_format="pandas")
+
+
+def _stable_hash(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (process-independent, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+# --- kNN -------------------------------------------------------------------
+
+class KNNCandidateStage:
+    """Per-batch bounded top-k per query point (SURVEY.md §2.4 J9).
+
+    Exact distributed top-k: each batch emits its local best (k + extra)
+    rows per query; a final tiny groupby(qid) merge sorts by
+    (dist_m, url) and cuts to k.  Query points are broadcast state held
+    per actor; distance math is vectorized haversine (B×Q per batch).
+    """
+
+    def __init__(self, qpoints: list[dict]):
+        self.qids = [q["qid"] for q in qpoints]
+        self.qlat = np.array([q["lat_e6"] for q in qpoints], dtype=np.int64)
+        self.qlon = np.array([q["lon_e6"] for q in qpoints], dtype=np.int64)
+        self.k = np.array([q["k"] for q in qpoints], dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+        lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+        urls = batch["url"]
+        n = len(lat)
+        out_q: list[str] = []
+        out_rows: list[np.ndarray] = []
+        out_dist: list[np.ndarray] = []
+        for j, qid in enumerate(self.qids):
+            dist = core.haversine_m(lat, lon, self.qlat[j], self.qlon[j])
+            kk = min(int(self.k[j]) + KNN_EXTRA, n)
+            idx = np.argpartition(dist, kk - 1)[:kk] if kk < n else np.arange(n)
+            out_q.extend([qid] * idx.size)
+            out_rows.append(idx)
+            out_dist.append(dist[idx])
+        if not out_rows:
+            return pa.table({"qid": pa.array([], pa.string()),
+                             "url": pa.array([], pa.string()),
+                             "dist_m": pa.array([], pa.float64())})
+        idx_all = np.concatenate(out_rows)
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.string()),
+                "url": urls.take(pa.array(idx_all)),
+                "dist_m": pa.array(np.concatenate(out_dist), pa.float64()),
+            }
+        )
+
+
+def knn_finalize(candidates_ds, k_by_qid: dict[str, int]):
+    """groupby(qid) merge: sort (dist_m, url), cut to k, emit rank."""
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        qid = group["qid"].iloc[0]
+        k = k_by_qid[qid]
+        g = group.sort_values(["dist_m", "url"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["dist_m"] = g["dist_m"].round(3)
+        return g[["qid", "url", "rank", "dist_m"]]
+
+    return candidates_ds.groupby("qid").map_groups(topk, batch_format="pandas")

@@ -1,0 +1,52 @@
+"""Every queries() entry vs its oracle_sql() at sf0.001 (driver emulation).
+
+This is the same comparison the driver runs at sf0.01 for
+CORRECTNESS_r{N}.json — run here at the smoke scale so regressions are
+caught before the round gate.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import __ray_entry__ as entrymod  # noqa: E402
+from oracle_harness import compare, oracle_connection  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = oracle_connection(SF)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, con, ray_session):
+    result = QUERIES[name](SF)
+    compare(name, result, ORACLES[name], con)
+
+
+def test_every_query_has_oracle_or_is_documented():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops are allowed to omit oracles (driver does a
+    # rows-only check); keep the list explicit so it stays intentional.
+    allowed_without_oracle = {
+        "hexcell_index", "s2_cells", "minhash_dedup", "simhash_dedup",
+        "embedding_ann_lsh", "multimodal_features", "doc_fingerprint_winnow",
+    }
+    assert missing <= allowed_without_oracle, f"queries missing oracles: {missing}"
+
+
+def test_entry_smoke(ray_session):
+    result = entrymod.entry()
+    df = result.to_pandas()
+    assert len(df) >= 0
+    assert set(df.columns) == {"polygon_id", "n_pages"}
