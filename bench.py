@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR at $RAY_GRAFT_CPUS.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "pages": P, "rows_per_s": {...}}
+
+--scaling: runs the same job in fresh subprocesses at 8 and 32 CPUs on the
+same input and reports both throughputs + efficiency (the sandbox evidence
+for the N→4N cluster criterion, BASELINE.md).
+
+The pages input is synthesized once (untimed) to /tmp and re-read by every
+run, so both parallelism levels stream identical parquet and the first-read
+page-cache warmup is shared.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "40"))
+
+
+def prepare_pages(sf_dir: str, repeat: int) -> str:
+    """Synthesize the pages table once (shared across bench processes)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/jimmy_ray_bench/pages_{sf_tag}_x{repeat}"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    from jimmy_ray.data import synth
+
+    ds = synth.pages_dataset(sf_dir, repeat=repeat)
+    ds.write_parquet(out)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ray.data.aggregate import Count
+
+    from jimmy_ray.stages import extract as ex
+    from jimmy_ray.stages import spatial as sp
+    from jimmy_ray.pipelines import flagship
+    from jimmy_ray.data import synth
+
+    pages_dir = prepare_pages(SF_DIR, REPEAT)
+
+    # warm the page cache (untimed), and grab the page count
+    n_pages = rd.read_parquet(pages_dir).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    def pages_ds():
+        return rd.read_parquet(pages_dir)
+
+    def points_ds():
+        return pages_ds().map_batches(
+            ex.geocode_points_batch, batch_format="pyarrow", batch_size=1024
+        )
+
+    # q1: extraction map_batches (the jimmy-parity stage)
+    timed("extract", lambda: pages_ds().map_batches(
+        ex.extract_markdown_batch, batch_format="pyarrow", batch_size=256
+    ).count())
+
+    # q2: geocode + cell/tile assignment + tile aggregation
+    timed("tile_assign", lambda: points_ds().map_batches(
+        sp.tile_assign_batch, batch_format="pyarrow", batch_size=8192
+    ).groupby("tile_z10").aggregate(Count(alias_name="n_pages")).count())
+
+    # q3: broadcast cell-indexed point-in-polygon join (headline)
+    timed("spatial_join", lambda: points_ds().map_batches(
+        sp.SpatialJoinStage,
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=max(2, NUM_CPUS // 2),
+    ).groupby("polygon_id").aggregate(Count(alias_name="n_pages")).count())
+
+    # q4: salted shuffle join variant (the all-to-all exchange path)
+    timed("spatial_join_shuffle", lambda: sp.spatial_join_shuffle(points_ds()).count())
+
+    # q5: kNN (bounded top-k + merge)
+    qpoints = synth.query_points(50)
+    timed("knn", lambda: sp.knn_finalize(
+        points_ds().map_batches(
+            sp.KNNCandidateStage,
+            fn_constructor_kwargs={"qpoints": qpoints},
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=max(2, NUM_CPUS // 2),
+        ),
+        {q["qid"]: q["k"] for q in qpoints},
+    ).count())
+
+    ray.shutdown()
+
+    headline_sec = timings["spatial_join"] + timings["tile_assign"]
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "spatial-join + tile-assignment sec over synthesized CC-style pages",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "rows_per_s": {
+            "extract": round(n_pages / timings["extract"], 1),
+            "spatial_tile_headline": round(n_pages / headline_sec, 1),
+        },
+    }
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    r_lo = lo["rows_per_s"]["spatial_tile_headline"]
+    r_hi = hi["rows_per_s"]["spatial_tile_headline"]
+    eff = (r_hi / r_lo) / (32 / 8)
+    print(json.dumps({
+        "headline_rows_per_s_8": r_lo,
+        "headline_rows_per_s_32": r_hi,
+        "scaling_efficiency": round(eff, 3),
+        "extract_rows_per_s_8": lo["rows_per_s"]["extract"],
+        "extract_rows_per_s_32": hi["rows_per_s"]["extract"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+        "pages": hi["pages"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

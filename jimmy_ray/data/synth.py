@@ -166,12 +166,17 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
-def render_pages_batch(batch: pa.Table) -> pa.Table:
-    """map_batches fn: documents rows -> N_VARIANTS page rows each.
+def render_pages_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    """map_batches fn: documents rows -> N_VARIANTS * repeat page rows each.
 
     Fixture generation is inherently per-row string templating (like the
     reference's per-note converters, SURVEY.md §2.2); the engine's hot
     paths stay vectorized — this runs once to build test input.
+
+    ``repeat > 1`` expands the corpus for bench runs (distinct urls and
+    distinct geo per replica via ``key = (doc_id*repeat + rep)*8 + v``);
+    the oracle-checked paths always use repeat=1, whose keys match the
+    SQL mirrors exactly.
     """
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
@@ -183,13 +188,18 @@ def render_pages_batch(batch: pa.Table) -> pa.Table:
     goldens: list[str] = []
     out_langs: list[str] = []
     for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
-        for v in range(N_VARIANTS):
-            key = page_key(doc_id, v)
-            urls.append(page_url(doc_id, v, source))
-            tss.append(page_ts_us(key))
-            htmls.append(render_html(doc_id, v, text, page_title(doc_id, key)))
-            goldens.append(golden_markdown(doc_id, v, text))
-            out_langs.append(lang)
+        for rep in range(repeat):
+            eff_id = doc_id * repeat + rep
+            for v in range(N_VARIANTS):
+                key = page_key(eff_id, v)
+                url = page_url(doc_id, v, source)
+                if repeat > 1:
+                    url = f"{url}/r{rep}"
+                urls.append(url)
+                tss.append(page_ts_us(key))
+                htmls.append(render_html(doc_id, v, text, page_title(doc_id, key)))
+                goldens.append(golden_markdown(doc_id, v, text))
+                out_langs.append(lang)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -201,12 +211,19 @@ def render_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_dataset(sf_dir: str, parallelism: int = -1):
+def pages_dataset(sf_dir: str, repeat: int = 1):
     """documents.parquet -> streaming pages Dataset (never materialized)."""
+    import functools
+
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
-    return ds.map_batches(render_pages_batch, batch_format="pyarrow", batch_size=512)
+    if repeat > 1:
+        # split the small documents table into many blocks so the 1:8*repeat
+        # expansion parallelizes instead of running in one task
+        ds = ds.repartition(64)
+    fn = functools.partial(render_pages_batch, repeat=repeat)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=64 if repeat > 1 else 512)
 
 
 # --- kNN query point fixtures (scale-independent, FIXTURES.md §4) ----------
