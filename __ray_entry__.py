@@ -52,7 +52,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from jimmy_ray.functions import dedup, simsearch, textstats
     from jimmy_ray.pipelines import flagship, relational
+    from jimmy_ray.stages import multimodal
 
     return {
         # jimmy extraction parity (SURVEY §2.2 M1-M3, byte-identity oracle)
@@ -76,10 +78,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_agg": relational.lineitem_agg,
         "q_orders_join": relational.orders_join,
         "q_top_orders": relational.top_orders,
+        # text analysis (training-data tier)
+        "text_stats": lambda sf: __import__(
+            "ray.data", fromlist=["read_parquet"]
+        ).read_parquet(f"{sf}/documents.parquet").map_batches(
+            textstats.text_stats_batch, batch_format="pyarrow"
+        ),
+        "lang_id": lambda sf: __import__(
+            "ray.data", fromlist=["read_parquet"]
+        ).read_parquet(f"{sf}/documents.parquet").map_batches(
+            textstats.lang_id_batch, batch_format="pyarrow"
+        ),
+        # dedup family (A3 exact + near-dup scale ops)
+        "doc_dedup_exact": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_dedup": dedup.minhash_dedup_pairs,
+        "simhash_dedup": dedup.simhash_dedup_pairs,
+        # similarity search over embeddings
+        "ann_topk": simsearch.ann_topk,
+        "embedding_ann_lsh": simsearch.ann_topk_lsh,
+        "embedding_dup_pairs": simsearch.embedding_dup_pairs,
+        # multimodal plumbing (stubbed codec, real Ray-side pipeline)
+        "multimodal_features": multimodal.media_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from jimmy_ray.functions import dedup, simsearch, textstats
+    from jimmy_ray.stages import multimodal
+
     edges = poly_mod.sql_polygon_edges()
     crossing = poly_mod.sql_pip_crossing("pts.lon_e6", "pts.lat_e6")
     qp_values = synth.sql_query_points_values()
@@ -146,4 +173,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
+        "text_stats": textstats.sql_text_stats(),
+        "lang_id": textstats.sql_lang_id(),
+        "doc_dedup_exact": (
+            "SELECT md5(text) AS md5, MIN(doc_id) AS keep_doc_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(),
+        "ann_topk": simsearch.sql_ann_topk(),
+        "multimodal_features": multimodal.sql_media_features(),
     }

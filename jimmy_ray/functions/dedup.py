@@ -1,0 +1,408 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The reference's dedup surface is exact content-hash equality
+(Resource md5 equality /root/reference/src/jimmy/intermediate_format.py:123-131,
+first-wins at the sink /root/reference/src/jimmy/writer.py:273,285 — SURVEY.md
+§2.7 A3).  This module keeps that exact path and adds the near-duplicate
+family a 100 TB training-data pipeline needs.
+
+Scale notes (stated per operator):
+- exact: md5 partial-group per batch → one groupby(md5) — the A3 shuffle.
+- n-gram Jaccard (exact): shingle explode → groupby(shingle) pair
+  emission → groupby(pair) intersection counts.  Pair emission is
+  quadratic in shingle multiplicity — exact verification is the *oracle*
+  path; at 10^12 docs you run MinHash-LSH first and only verify
+  candidates.
+- MinHash-LSH: per-doc signatures (vectorized numpy) → band explode →
+  groupby(band) candidates → exact Jaccard verify.  Bands bound the
+  pair explosion; shingle keys become 64-bit hashes at scale.
+- SimHash: 64-bit fingerprint, 4×16-bit segment buckets (pigeonhole
+  guarantees recall for hamming ≤ 3) → groupby(segment) candidates.
+
+A mutated replica (``doc_id + 1_000_000``, text + 3 extra tokens) is
+injected so near-dup pairs exist deterministically in the synthetic
+corpus; the SQL oracle builds the identical corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[a-z0-9_]+")
+MUTATION_SUFFIX = " zz1 zz2 zz3"
+MUTATION_OFFSET = 1_000_000
+
+N_PERMS = 64
+N_BANDS = 16  # 4 rows per band
+# Mersenne-31 modulus: a,b,h < 2**31 keeps a*h+b < 2**62 inside uint64,
+# so the signature computation is fully vectorized numpy.
+_P31 = (1 << 31) - 1
+
+
+def fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _perm_params(n: int = N_PERMS) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _P31, n, dtype=np.uint64)
+    b = rng.integers(0, _P31, n, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def shingles(text: str, n: int = 3) -> list[str]:
+    toks = TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        return []
+    return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+# --- corpus with injected near-dups ----------------------------------------
+
+def mutated_corpus_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_numpy()
+    texts = batch["text"].to_pylist()
+    out_ids = np.concatenate([doc_ids, doc_ids + MUTATION_OFFSET])
+    out_texts = texts + [t + MUTATION_SUFFIX for t in texts]
+    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                     "text": pa.array(out_texts, pa.string())})
+
+
+SQL_CORPUS_CTE = (
+    "corpus AS (SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {MUTATION_OFFSET}, text || '{MUTATION_SUFFIX}' "
+    "FROM documents)"
+)
+
+
+# --- exact dedup (A3) ------------------------------------------------------
+
+def exact_dedup(sf_dir: str):
+    """Representative per content group: (md5, keep_doc_id, n_dups)."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"md5": pa.array(digests, pa.string()), "doc_id": batch["doc_id"]})
+
+    return (
+        ds.map_batches(add_md5, batch_format="pyarrow")
+        .groupby("md5")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+# --- exact n-gram Jaccard pairs --------------------------------------------
+
+def shingle_batch(batch: pa.Table) -> pa.Table:
+    ids: list[int] = []
+    sh: list[str] = []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        for s in shingles(text):
+            ids.append(doc_id)
+            sh.append(s)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "s": pa.array(sh, pa.string())})
+
+
+N_PAIR_BUCKETS = 256
+
+
+def _add_shingle_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    batch["bucket"] = batch["s"].map(lambda s: fnv64(s) % N_PAIR_BUCKETS).astype(np.int64)
+    return batch
+
+
+def _bucket_intersections(group: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket partial intersections via self-merge on s."""
+    df = group[["doc_id", "s"]]
+    m = df.merge(df, on="s")
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    if m.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "i_part": pd.Series([], dtype=np.int64)})
+    g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+    g.columns = ["a", "b", "i_part"]
+    return g
+
+
+def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.8):
+    """Exact Jaccard ≥ tau pairs over the mutated corpus (oracle path)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(mutated_corpus_batch, batch_format="pyarrow")
+    sh = corpus.map_batches(shingle_batch, batch_format="pyarrow")
+
+    counts = sh.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    cnt_map = dict(zip(counts["doc_id"], counts["n"]))  # small side: broadcast
+
+    # Partitioned self-join: bucket by hash(shingle), per-bucket vectorized
+    # pandas merge, then global sum of partial intersection counts.  Each
+    # shingle lives in exactly one bucket, so partial counts add exactly.
+    # (256 coarse groups instead of one map_groups call per shingle.)
+    inter = (
+        sh.map_batches(_add_shingle_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_bucket_intersections, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("i_part", alias_name="i"))
+    )
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        i = batch["i"].to_numpy().astype(np.float64)
+        na = np.array([cnt_map[x] for x in a], dtype=np.float64)
+        nb = np.array([cnt_map[x] for x in b], dtype=np.float64)
+        j = i / (na + nb - i)
+        keep = j >= tau
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return inter.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
+def sql_ngram_jaccard_pairs(tau: float = 0.8) -> str:
+    return f"""
+WITH {SQL_CORPUS_CTE},
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.a AS a, inter.b AS b,
+       CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = inter.a
+JOIN cnt cb ON cb.doc_id = inter.b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {tau}
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_sig(shingle_list: list[str]) -> np.ndarray | None:
+    if not shingle_list:
+        return None
+    hashes = np.array([fnv64(s) % _P31 for s in shingle_list], dtype=np.uint64)
+    # (S, P) permuted hashes, min over shingles — vectorized uint64
+    perm = (hashes[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % np.uint64(_P31)
+    return perm.min(axis=0).astype(np.int64)
+
+
+def minhash_band_batch(batch: pa.Table) -> pa.Table:
+    """docs batch -> (band_id, band_hash, doc_id) rows."""
+    rows_per_band = N_PERMS // N_BANDS
+    bids: list[int] = []
+    bhashes: list[int] = []
+    ids: list[int] = []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sig = minhash_sig(shingles(text))
+        if sig is None:
+            continue
+        for band in range(N_BANDS):
+            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            bids.append(band)
+            bhashes.append(fnv64(",".join(str(int(v)) for v in chunk)))
+            ids.append(doc_id)
+    return pa.table(
+        {
+            "band_id": pa.array(bids, pa.int64()),
+            "band_hash": pa.array(
+                np.array(bhashes, dtype=np.uint64).astype(np.int64), pa.int64()
+            ),
+            "doc_id": pa.array(ids, pa.int64()),
+        }
+    )
+
+
+def minhash_dedup_pairs(sf_dir: str, tau: float = 0.8):
+    """MinHash-LSH candidates → exact Jaccard verify → (a, b, jaccard).
+
+    Candidate generation is the scale path (bands bound the pair blowup);
+    verification here broadcasts the per-doc shingle sets (small corpus).
+    At 10^12 docs verification becomes a repartition-by-pair join instead
+    — documented, not needed at fixture scale.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(mutated_corpus_batch, batch_format="pyarrow")
+
+    bands = corpus.map_batches(minhash_band_batch, batch_format="pyarrow")
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = (
+            (batch["band_id"] * 1_000_003 + batch["band_hash"]) % N_PAIR_BUCKETS
+        ).astype(np.int64)
+        return batch
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[["band_id", "band_hash", "doc_id"]]
+        m = df.merge(df, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        out.columns = ["a", "b"]
+        return out
+
+    cand = (
+        bands.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+
+    # broadcast shingle sets for exact verification (fixture-scale only)
+    sets: dict[int, set] = {}
+    for b in corpus.iter_batches(batch_format="pyarrow"):
+        for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            sets[doc_id] = set(shingles(text))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a, b):
+            sx, sy = sets[int(x)], sets[int(y)]
+            if not sx or not sy:
+                continue
+            inter = len(sx & sy)
+            j = inter / (len(sx) + len(sy) - inter)
+            if j >= tau:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_j.append(j)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    toks = TOKEN_RE.findall(text.lower())
+    if not toks:
+        return 0
+    hashes = np.array([fnv64(t) for t in toks], dtype=np.uint64)
+    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = np.uint64(0)
+    sel = np.nonzero(acc > 0)[0]
+    for bit in sel:
+        out |= np.uint64(1) << np.uint64(bit)
+    return int(out)
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    hashes = [simhash64(t) for t in batch["text"].to_pylist()]
+    seg_ids: list[int] = []
+    seg_vals: list[int] = []
+    out_ids: list[int] = []
+    out_h: list[int] = []
+    for doc_id, h in zip(ids, hashes):
+        for seg in range(4):  # pigeonhole: hamming<=3 pairs share >=1 segment
+            seg_ids.append(seg)
+            seg_vals.append((h >> (seg * 16)) & 0xFFFF)
+            out_ids.append(doc_id)
+            out_h.append(h)
+    return pa.table(
+        {
+            "seg_id": pa.array(seg_ids, pa.int64()),
+            "seg_val": pa.array(seg_vals, pa.int64()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "simhash": pa.array(
+                np.array(out_h, dtype=np.uint64).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3):
+    """(a, b, hamming) for pairs with hamming(simhash) <= max_hamming."""
+    import ray.data as rd
+
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(mutated_corpus_batch, batch_format="pyarrow")
+    segs = corpus.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = (
+            (batch["seg_id"] * 65_537 + batch["seg_val"]) % N_PAIR_BUCKETS
+        ).astype(np.int64)
+        return batch
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[["seg_id", "seg_val", "doc_id", "simhash"]]
+        m = df.merge(df, on=["seg_id", "seg_val"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
+        if m.empty:
+            return empty
+        x = m["simhash_x"].to_numpy().astype(np.uint64) ^ m["simhash_y"].to_numpy().astype(np.uint64)
+        ham = np.zeros(x.size, dtype=np.int64)
+        v = x.copy()
+        while v.any():
+            ham += (v & 1).astype(np.int64)
+            v >>= 1
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        out = pd.DataFrame({"a": m["doc_id_x"].to_numpy()[keep],
+                            "b": m["doc_id_y"].to_numpy()[keep],
+                            "hamming": ham[keep]})
+        return out.drop_duplicates(["a", "b"])
+
+    pairs = (
+        segs.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # a pair can match in several segments/buckets -> distinct (hamming is
+    # identical wherever the pair appears, so Min is a pure dedup)
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -1,0 +1,225 @@
+"""Similarity search over the embeddings table (training-data tier).
+
+- :func:`ann_topk` — exact brute-force cosine top-k: per-batch bounded
+  top-k against a broadcast query matrix (numpy matmul), then a tiny
+  groupby(qid) merge.  Same distributed-top-k shape as the geo kNN
+  (jimmy_ray.stages.spatial.KNNCandidateStage); exact, so DuckDB-oracle
+  checkable.
+- :func:`ann_topk_lsh` — the scale path: random-hyperplane LSH buckets
+  (deterministic seeded planes), multi-probe within hamming-1 buckets.
+  Approximate → no SQL oracle; recall vs brute force is asserted in
+  tests.
+- :func:`embedding_dup_pairs` — embedding-cosine near-dup pairs over a
+  corpus with injected noisy replicas (vec_id + 1_000_000), verified in
+  tests against the known replica pairing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOPK_EXTRA = 8
+REPLICA_OFFSET = 1_000_000
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(vec_ids)[:n_queries]
+    q = np.array([t["embedding"].to_pylist()[i] for i in order], dtype=np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return vec_ids[order], q
+
+
+class AnnTopkStage:
+    """Per-batch cosine top-k vs a broadcast query matrix (actor state)."""
+
+    def __init__(self, qids: np.ndarray, qmat: np.ndarray, k: int):
+        self.qids = qids
+        self.qmat = qmat  # (Q, d), rows normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vec_ids = batch["vec_id"].to_numpy()
+        sims = vecs @ self.qmat.T  # (B, Q)
+        kk = min(self.k + TOPK_EXTRA, len(vec_ids))
+        out_q: list[int] = []
+        out_v: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            out_q.extend([int(qid)] * idx.size)
+            out_v.append(vec_ids[idx])
+            out_s.append(col[idx])
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """Exact top-k by cosine: (qid, vec_id, rank); rank ties broken by
+    (sim desc, vec_id) in both engines."""
+    import ray.data as rd
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cands = ds.map_batches(
+        AnnTopkStage,
+        fn_constructor_kwargs={"qids": qids, "qmat": qmat, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "rank"]]
+
+    return cands.groupby("qid").map_groups(topk, batch_format="pandas")
+
+
+def sql_ann_topk(n_queries: int = 10, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+d AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+  FROM q, embeddings e
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM d
+)
+SELECT qid, vec_id, CAST(rn AS BIGINT) AS "rank" FROM r WHERE rn <= {k}
+"""
+
+
+# --- LSH-bucketed variant (scale path, approximate) ------------------------
+
+N_PLANES = 12
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(4242)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def lsh_bucket(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes.T) > 0
+    return (bits.astype(np.uint64) << np.arange(N_PLANES, dtype=np.uint64)).sum(axis=1)
+
+
+def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """LSH-bucketed ANN: candidates limited to query buckets ∪ hamming-1
+    probes, then exact rerank.  Approximate — recall tested vs ann_topk."""
+    import ray.data as rd
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    planes = _planes(qmat.shape[1])
+    qbuckets = lsh_bucket(qmat, planes)
+    probe: set[int] = set()
+    for b in qbuckets:
+        probe.add(int(b))
+        for bit in range(N_PLANES):
+            probe.add(int(b) ^ (1 << bit))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        buckets = lsh_bucket(nv, planes)
+        keep = np.array([int(b) in probe for b in buckets])
+        return batch.filter(pa.array(keep))
+
+    filtered = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=4096)
+    cands = filtered.map_batches(
+        AnnTopkStage,
+        fn_constructor_kwargs={"qids": qids, "qmat": qmat, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "rank"]]
+
+    return cands.groupby("qid").map_groups(topk, batch_format="pandas")
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+def replicated_embeddings_batch(batch: pa.Table) -> pa.Table:
+    """Inject noisy replicas (vec_id + REPLICA_OFFSET, vec + seeded noise)."""
+    vec_ids = batch["vec_id"].to_numpy()
+    vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    noise = np.stack([
+        np.random.default_rng(int(v)).normal(0, 0.01, vecs.shape[1])
+        for v in vec_ids
+    ])
+    out_ids = np.concatenate([vec_ids, vec_ids + REPLICA_OFFSET])
+    out_vecs = np.concatenate([vecs, vecs + noise])
+    return pa.table(
+        {
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "embedding": pa.array(list(out_vecs), pa.list_(pa.float64())),
+        }
+    )
+
+
+def embedding_dup_pairs(sf_dir: str, tau: float = 0.95):
+    """Cosine ≥ tau pairs over the replicated corpus: (a, b, sim).
+
+    Brute force per batch against the broadcast full matrix — fine while
+    one side fits in worker memory; the LSH bucket pre-filter above is
+    the scale path (bucket groupby, then in-bucket pairs)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    all_tab = replicated_embeddings_batch(base)
+    all_ids = all_tab["vec_id"].to_numpy()
+    all_vecs = np.array(all_tab["embedding"].to_pylist(), dtype=np.float64)
+    all_vecs /= np.linalg.norm(all_vecs, axis=1, keepdims=True)
+
+    ds = rd.from_arrow(all_tab)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vecs @ all_vecs.T
+        rows, cols = np.nonzero((sims >= tau) & (ids[:, None] < all_ids[None, :]))
+        return pa.table(
+            {
+                "a": pa.array(ids[rows], pa.int64()),
+                "b": pa.array(all_ids[cols], pa.int64()),
+                "sim": pa.array(sims[rows, cols], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)

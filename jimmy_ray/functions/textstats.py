@@ -1,0 +1,138 @@
+"""Text analysis operators over the documents corpus (training-data tier).
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting
+and document fingerprinting — each as a vectorized ``map_batches`` body
+with an exact DuckDB SQL mirror (all scores are ratios of integer counts,
+so Python and SQL produce identical doubles).
+
+The reference's analogous scalar layer is its string/tag word scans
+(/root/reference/src/jimmy/md_lib/tags.py:4-27,
+/root/reference/src/jimmy/common.py:276-343); these re-express that kind
+of per-document scan as Arrow-column kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ASCII-explicit token regex: identical semantics in Python re, pandas and
+# DuckDB RE2 (\w would be unicode in Python but ASCII in RE2).
+TOKEN_RE = "[A-Za-z0-9_]+"
+
+# fixed language marker sets (checked as whole words, lowercase)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # deterministic argmax tie-break
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it")
+
+
+def _count_pattern(texts: pd.Series, pattern: str) -> np.ndarray:
+    return texts.str.count(pattern).fillna(0).to_numpy(dtype=np.int64)
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> per-doc stats columns.
+
+    n_tokens, n_stopwords, stop_ratio (=n_stop/n_tok), quality flag and
+    the deterministic fingerprint (md5 of lowercased space-collapsed
+    text, mirroring DuckDB's md5()).
+    """
+    texts = pd.Series(batch["text"].to_pylist())
+    low = texts.str.lower()
+    n_chars = texts.str.len().to_numpy(dtype=np.int64)
+    n_tokens = _count_pattern(texts, TOKEN_RE)
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = _count_pattern(low, stop_pat)
+    denom = np.maximum(n_tokens, 1)
+    stop_ratio = n_stop.astype(np.float64) / denom.astype(np.float64)
+    mean_tok_len = n_chars.astype(np.float64) / denom.astype(np.float64)
+    # quality: enough tokens, plausible mean token length, some stopwords
+    quality_ok = (n_tokens >= 5) & (mean_tok_len <= 12.0) & (stop_ratio >= 0.0)
+    fingerprints = [
+        hashlib.md5(" ".join(t.lower().split()).encode()).hexdigest() for t in texts
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "quality_ok": pa.array(quality_ok, pa.bool_()),
+            "fingerprint": pa.array(fingerprints, pa.string()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-marker language ID with a fixed tie-break order."""
+    texts = pd.Series(batch["text"].to_pylist()).str.lower()
+    counts = {}
+    for lang in LANG_ORDER:
+        pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        counts[lang] = _count_pattern(texts, pat)
+    n = len(texts)
+    pred = np.full(n, "und", dtype=object)
+    best = np.zeros(n, dtype=np.int64)
+    # iterate in LANG_ORDER; strict > keeps the earlier language on ties
+    for lang in LANG_ORDER:
+        better = counts[lang] > best
+        pred[better] = lang
+        best = np.maximum(best, counts[lang])
+    pred[best == 0] = "und"
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+            "marker_hits": pa.array(best, pa.int64()),
+        }
+    )
+
+
+# --- SQL mirrors -----------------------------------------------------------
+
+def sql_text_stats() -> str:
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+    n_stop = f"len(regexp_extract_all(lower(text), '{stop_pat}'))"
+    return (
+        "SELECT doc_id, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        f"CAST({n_tok} AS BIGINT) AS n_tokens, "
+        f"CAST({n_stop} AS BIGINT) AS n_stopwords, "
+        f"CAST({n_stop} AS DOUBLE) / CAST(greatest({n_tok}, 1) AS DOUBLE) AS stop_ratio, "
+        f"(({n_tok}) >= 5 AND "
+        f" CAST(length(text) AS DOUBLE) / CAST(greatest({n_tok}, 1) AS DOUBLE) <= 12.0) "
+        "AS quality_ok, "
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "
+        "FROM documents"
+    )
+
+
+def sql_lang_id() -> str:
+    count_exprs = {}
+    for lang in LANG_ORDER:
+        pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        count_exprs[lang] = f"len(regexp_extract_all(lower(text), '{pat}'))"
+    c = count_exprs
+    best = f"greatest({c['en']}, {c['de']}, {c['fr']}, {c['es']})"
+    pred = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        f"WHEN {c['en']} = {best} THEN 'en' "
+        f"WHEN {c['de']} = {best} THEN 'de' "
+        f"WHEN {c['fr']} = {best} THEN 'fr' "
+        f"ELSE 'es' END"
+    )
+    return (
+        f"SELECT doc_id, {pred} AS pred_lang, "
+        f"CAST({best} AS BIGINT) AS marker_hits FROM documents"
+    )

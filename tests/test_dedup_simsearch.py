@@ -1,0 +1,132 @@
+"""Near-dup + similarity operators: recall vs exact references."""
+
+import numpy as np
+import pytest
+
+from jimmy_ray.functions import dedup, simsearch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shingles_deterministic():
+    s = dedup.shingles("a b c d")
+    assert s == ["a b c", "b c d"]
+    assert dedup.shingles("a b") == []
+
+
+def test_minhash_estimates_jaccard():
+    a = dedup.minhash_sig(dedup.shingles("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"))
+    b = dedup.minhash_sig(dedup.shingles("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 zz zz2"))
+    est = (a == b).mean()
+    assert 0.3 < est < 1.0  # true J = 8/12 over 3-gram sets, noisy estimate
+
+
+def test_simhash_close_for_similar_text():
+    h1 = dedup.simhash64("the quick brown fox jumps over the lazy dog again")
+    h2 = dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    h3 = dedup.simhash64("completely different words entirely unrelated content here")
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+    assert ham(h1, h2) < ham(h1, h3)
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(ray_session):
+    df = dedup.ngram_jaccard_pairs(SF).to_pandas()
+    return set(zip(df["a"], df["b"]))
+
+
+def test_exact_pairs_contain_mutations(exact_pairs):
+    # every doc pairs with its mutated replica at J >= 0.8
+    import pyarrow.parquet as pq
+
+    doc_ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    long_enough = 0
+    for d in doc_ids:
+        if (d, d + dedup.MUTATION_OFFSET) in exact_pairs:
+            long_enough += 1
+    # docs are >= 47 chars (~8+ tokens), suffix adds 3 tokens: J >= ~0.6 for
+    # the shortest docs; require the clear majority to pair up
+    assert long_enough > len(doc_ids) * 0.8
+
+
+def test_minhash_recall_vs_exact(exact_pairs, ray_session):
+    df = dedup.minhash_dedup_pairs(SF).to_pandas()
+    got = set(zip(df["a"], df["b"]))
+    # minhash verifies exact jaccard, so no false positives
+    assert got <= exact_pairs
+    # 16 bands x 4 rows at J>=0.8: detection prob ~ 1-(1-J^4)^16 > 0.999
+    assert len(got) >= 0.95 * len(exact_pairs)
+
+
+def test_simhash_pairs_pigeonhole_guarantee(ray_session):
+    """Every replica pair with true hamming <= 3 MUST be found (the 4x16-bit
+    segment scheme guarantees recall=1 for hamming <= 3)."""
+    df = dedup.simhash_dedup_pairs(SF, max_hamming=3).to_pandas()
+    got = set(zip(df["a"], df["b"]))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expected = set()
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        h1 = dedup.simhash64(text)
+        h2 = dedup.simhash64(text + dedup.MUTATION_SUFFIX)
+        if bin(h1 ^ h2).count("1") <= 3:
+            expected.add((doc_id, doc_id + dedup.MUTATION_OFFSET))
+    assert expected, "fixture should contain some hamming<=3 replicas"
+    assert expected <= got
+    assert (df["hamming"] <= 3).all()
+
+
+def test_lsh_ann_recall_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    exact = simsearch.ann_topk(SF).to_pandas()
+    approx = simsearch.ann_topk_lsh(SF).to_pandas()
+    exact_sets = exact.groupby("qid")["vec_id"].apply(set)
+    approx_sets = approx.groupby("qid")["vec_id"].apply(set)
+    recalls = []
+    for qid, es in exact_sets.items():
+        as_ = approx_sets.get(qid, set())
+        recalls.append(len(es & as_) / len(es))
+    # candidate fraction scanned by the bucket filter (offline mirror)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    qids, qmat = simsearch._load_queries(SF, 10)
+    planes = simsearch._planes(qmat.shape[1])
+    probe = set()
+    for b in simsearch.lsh_bucket(qmat, planes):
+        probe.add(int(b))
+        for bit in range(simsearch.N_PLANES):
+            probe.add(int(b) ^ (1 << bit))
+    kept = np.mean([int(b) in probe for b in simsearch.lsh_bucket(vecs, planes)])
+    # on uniform random vectors absolute recall is bounded; the LSH value
+    # is *enrichment*: recall per unit of data scanned beats random sampling
+    assert kept < 0.15
+    assert np.mean(recalls) >= 2.0 * kept
+    # rank 1 must be the query vector itself in the exact path
+    assert (exact[exact["rank"] == 1]["vec_id"].to_numpy()
+            == exact[exact["rank"] == 1]["qid"].to_numpy()).all()
+
+
+def test_embedding_dup_pairs_finds_replicas(ray_session):
+    df = simsearch.embedding_dup_pairs(SF).to_pandas()
+    got = set(zip(df["a"], df["b"]))
+    import pyarrow.parquet as pq
+
+    vec_ids = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])["vec_id"].to_pylist()
+    expected = {(v, v + simsearch.REPLICA_OFFSET) for v in vec_ids}
+    assert expected <= got            # every replica found (cos ~ 0.999)
+    assert (df["sim"] >= 0.95).all()
+
+
+def test_multimodal_features(ray_session):
+    from jimmy_ray.stages import multimodal
+
+    df = multimodal.media_features(SF).to_pandas()
+    assert len(df) == 500
+    assert (~df["decoded"]).all()  # codec stubbed in this environment
+    assert (df["n_bytes"] > len(multimodal.MAGIC)).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"FAKEIMGxxx")

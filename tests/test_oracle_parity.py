@@ -40,7 +40,7 @@ def test_every_query_has_oracle_or_is_documented():
     # rows-only check); keep the list explicit so it stays intentional.
     allowed_without_oracle = {
         "hexcell_index", "s2_cells", "minhash_dedup", "simhash_dedup",
-        "embedding_ann_lsh", "multimodal_features", "doc_fingerprint_winnow",
+        "embedding_ann_lsh", "embedding_dup_pairs",
     }
     assert missing <= allowed_without_oracle, f"queries missing oracles: {missing}"
 
