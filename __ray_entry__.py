@@ -54,7 +54,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from jimmy_ray.functions import dedup, simsearch, textstats
     from jimmy_ray.pipelines import flagship, relational
-    from jimmy_ray.stages import multimodal
+    from jimmy_ray.stages import multimodal, notes
 
     return {
         # jimmy extraction parity (SURVEY §2.2 M1-M3, byte-identity oracle)
@@ -100,6 +100,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": simsearch.embedding_dup_pairs,
         # multimodal plumbing (stubbed codec, real Ray-side pipeline)
         "multimodal_features": multimodal.media_features,
+        # note-pipeline stages (M12-M22, F1/F2, J1)
+        "extract_links": notes.extract_links,
+        "inline_tags": notes.inline_tags,
+        "split_title_body": notes.split_title_body,
+        "header_slugs": notes.header_slugs,
+        "safe_paths": notes.safe_paths,
+        "filter_notes": notes.filter_notes,
+        "frontmatter_obsidian": notes.frontmatter_obsidian,
+        "link_resolution": notes.link_resolution,
+        "event_ts_ms": notes.event_ts_ms,
     }
 
 
@@ -173,6 +183,89 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
+        "extract_links": (
+            f"{_PAGES_CTE}\n"
+            "SELECT src_url, text, url, fragment, is_image, is_wikilink FROM (\n"
+            "  SELECT p.url AS src_url, 'site ' || i AS text,\n"
+            "         'https://example.com/' || i AS url, '' AS fragment,\n"
+            "         FALSE AS is_image, FALSE AS is_wikilink\n"
+            "  FROM (SELECT url, CAST(doc_id AS VARCHAR) AS i FROM pages WHERE v = 6) p\n"
+            "  UNION ALL\n"
+            "  SELECT p.url, 'pic ' || i, 'img_' || i || '.png', '', TRUE, FALSE\n"
+            "  FROM (SELECT url, CAST(doc_id AS VARCHAR) AS i FROM pages WHERE v = 6) p\n"
+            "  UNION ALL\n"
+            "  SELECT p.url, 'https://frame.example/' || i,\n"
+            "         'https://frame.example/' || i, '', FALSE, FALSE\n"
+            "  FROM (SELECT url, CAST(doc_id AS VARCHAR) AS i FROM pages WHERE v = 6) p\n"
+            "  UNION ALL\n"
+            "  SELECT p.url, 'wiki ' || i, 'Doc ' || p9, '', FALSE, TRUE\n"
+            "  FROM (SELECT url, CAST(doc_id AS VARCHAR) AS i,\n"
+            "               CAST(doc_id - 1 AS VARCHAR) AS p9\n"
+            "        FROM pages WHERE v = 8) p\n"
+            ")"
+        ),
+        "inline_tags": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url, tag FROM (\n"
+            "  SELECT url, 'common' AS tag FROM pages WHERE v = 8\n"
+            "  UNION ALL\n"
+            "  SELECT url, 'tag' || CAST(doc_id AS VARCHAR) FROM pages WHERE v = 8)"
+        ),
+        "split_title_body": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url,\n"
+            "  CASE WHEN v = 1 THEN 'Doc ' || CAST(doc_id AS VARCHAR) ELSE '' END\n"
+            "    AS note_title,\n"
+            "  CASE WHEN v = 1 THEN\n"
+            "    ltrim(substr(text, strpos(text, chr(10)) + 1), ' ' || chr(10))\n"
+            "  ELSE text END AS body\n"
+            "FROM pages"
+        ),
+        "header_slugs": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url, CASE WHEN (k % 101) = 0 THEN\n"
+            "  CASE ((k // 101) % 4) WHEN 0 THEN 'con' WHEN 1 THEN 'abcx'\n"
+            "       WHEN 2 THEN repeat('g', 200) ELSE '' END\n"
+            "  ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS slug\n"
+            "FROM pages"
+        ),
+        "safe_paths": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url, CASE WHEN (k % 101) = 0 THEN\n"
+            "  CASE ((k // 101) % 4) WHEN 0 THEN 'CON_' WHEN 1 THEN 'a_b_c_x'\n"
+            "       WHEN 2 THEN repeat('g', 50)\n"
+            "       ELSE 'unnamed_' || md5(url) END\n"
+            "  ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS safe_name\n"
+            "FROM pages"
+        ),
+        "filter_notes": (
+            f"{_PAGES_CTE}\n"
+            f"SELECT url, {_TITLE_SQL} AS title FROM pages\n"
+            f"WHERE {_TITLE_SQL} LIKE 'Doc 1%'"
+        ),
+        "frontmatter_obsidian": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url, '---' || chr(10) || 'tags:' || chr(10) || '- common'\n"
+            "  || chr(10) || '- tag' || CAST(doc_id AS VARCHAR) || chr(10)\n"
+            "  || '---' || chr(10) || chr(10) || text AS fm_body\n"
+            "FROM pages WHERE v = 8"
+        ),
+        "link_resolution": (
+            f"{_PAGES_CTE}\n"
+            "SELECT p8.url AS url,\n"
+            "  replace(p8.text,\n"
+            "    '[[Doc ' || CAST(p8.doc_id - 1 AS VARCHAR) || '|wiki '\n"
+            "      || CAST(p8.doc_id AS VARCHAR) || ']]',\n"
+            "    CASE WHEN p1.url IS NULL THEN\n"
+            "      '[wiki ' || CAST(p8.doc_id AS VARCHAR) || '](broken-link Doc '\n"
+            "        || CAST(p8.doc_id - 1 AS VARCHAR) || ')'\n"
+            "    ELSE '[wiki ' || CAST(p8.doc_id AS VARCHAR) || '](' || p1.url || ')'\n"
+            "    END) AS resolved_body\n"
+            "FROM (SELECT * FROM pages WHERE v = 8) p8\n"
+            "LEFT JOIN (SELECT * FROM pages WHERE v = 1) p1\n"
+            "  ON p1.doc_id = p8.doc_id - 1"
+        ),
+        "event_ts_ms": "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
         "text_stats": textstats.sql_text_stats(),
         "lang_id": textstats.sql_lang_id(),
         "doc_dedup_exact": (

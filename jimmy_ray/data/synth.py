@@ -31,7 +31,7 @@ import html as html_mod
 import numpy as np
 import pyarrow as pa
 
-N_VARIANTS = 8
+N_VARIANTS = 9
 EPOCH_2024 = 1_704_067_200  # 2024-01-01T00:00:00Z
 YEAR_S = 31_536_000
 
@@ -55,6 +55,7 @@ VARIANT_TEMPLATES = (
     "[site {id}](https://example.com/{id}) and ![pic {id}](img_{id}.png)"
     "\n\n[https://frame.example/{id}](https://frame.example/{id})\n\n{text}",
     "==hl {id}== ~~strike {id}~~ ++under {id}++ {text}",
+    "[[Doc {prev}|wiki {id}]] #tag{id} #common {text}",
 )
 
 HOSTILE_TITLES = ("CON", "a/b:c*x", "g" * 200, "")
@@ -97,7 +98,12 @@ def page_geo(key: int) -> tuple[int, int] | None:
 
 
 def golden_markdown(doc_id: int, variant: int, text: str) -> str:
-    out = VARIANT_TEMPLATES[variant].replace("{id}", str(doc_id)).replace("{text}", text)
+    out = (
+        VARIANT_TEMPLATES[variant]
+        .replace("{prev}", str(doc_id - 1))
+        .replace("{id}", str(doc_id))
+        .replace("{text}", text)
+    )
     return out.strip(" \n")
 
 
@@ -135,6 +141,8 @@ def _body_html(doc_id: int, variant: int, text: str) -> str:
         )
     if variant == 7:
         return f"<p><mark>hl {i}</mark> <s>strike {i}</s> <u>under {i}</u> {t}</p>"
+    if variant == 8:
+        return f"<p>[[Doc {i - 1}|wiki {i}]] #tag{i} #common {t}</p>"
     raise ValueError(f"unknown variant {variant}")
 
 
@@ -264,7 +272,7 @@ SQL_VARIANTS_CTE = (
     + ") AS t(v))"
 )
 
-SQL_KEY = "(doc_id * 8 + v)"
+SQL_KEY = f"(doc_id * {N_VARIANTS} + v)"
 
 
 def sql_page_url() -> str:
@@ -286,6 +294,8 @@ def sql_golden_markdown() -> str:
     cases = []
     for v, tpl in enumerate(VARIANT_TEMPLATES):
         expr = "'" + tpl.replace("'", "''").replace(
+            "{prev}", "' || CAST(doc_id - 1 AS VARCHAR) || '"
+        ).replace(
             "{id}", "' || CAST(doc_id AS VARCHAR) || '"
         ).replace("{text}", "' || text || '") + "'"
         # embedded \n inside python template -> real newline in SQL literal;
