@@ -54,7 +54,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from jimmy_ray.functions import dedup, simsearch, textstats
     from jimmy_ray.pipelines import flagship, relational
-    from jimmy_ray.stages import multimodal, notes
+    from jimmy_ray.stages import multimodal, notes, windows
 
     return {
         # jimmy extraction parity (SURVEY §2.2 M1-M3, byte-identity oracle)
@@ -74,6 +74,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": flagship.knn,
         # tile aggregation (A4)
         "tile_counts": flagship.tile_counts,
+        # genuine hex + S2 cell indexes (float projections: rows-only check)
+        "hexcell_index": lambda sf: flagship.geo_points(sf).map_batches(
+            __import__("jimmy_ray.stages.spatial", fromlist=["x"]).hex_s2_index_batch,
+            batch_format="pyarrow", batch_size=4096,
+        ).select_columns(["url", "hex_r7", "hex_r8", "hex_r9"]),
+        "s2_cells": lambda sf: flagship.geo_points(sf).map_batches(
+            __import__("jimmy_ray.stages.spatial", fromlist=["x"]).hex_s2_index_batch,
+            batch_format="pyarrow", batch_size=4096,
+        ).select_columns(["url", "s2_l10", "s2_l14", "s2_token_l10"]),
+        # kNN with hex k-ring pruning (approximate scale path: rows-only)
+        "knn_hex_pruned": lambda sf: __import__(
+            "jimmy_ray.stages.spatial", fromlist=["x"]
+        ).knn_hex_pruned(
+            flagship.geo_points(sf),
+            __import__("jimmy_ray.data.synth", fromlist=["x"]).query_points(50),
+        ),
         # generic relational operators (A1-A3, J1-J4 analogues on TPC-H tables)
         "q_lineitem_agg": relational.lineitem_agg,
         "q_orders_join": relational.orders_join,
@@ -110,12 +126,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontmatter_obsidian": notes.frontmatter_obsidian,
         "link_resolution": notes.link_resolution,
         "event_ts_ms": notes.event_ts_ms,
+        # stream-shaped windows over the events log (A2 / guide pattern)
+        "tumbling_window": windows.tumbling_window,
+        "session_window": windows.session_window,
+        "sliding_window": windows.sliding_window,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from jimmy_ray.functions import dedup, simsearch, textstats
-    from jimmy_ray.stages import multimodal
+    from jimmy_ray.stages import multimodal, windows
 
     edges = poly_mod.sql_polygon_edges()
     crossing = poly_mod.sql_pip_crossing("pts.lon_e6", "pts.lat_e6")
@@ -266,6 +286,9 @@ def oracle_sql() -> dict[str, str]:
             "  ON p1.doc_id = p8.doc_id - 1"
         ),
         "event_ts_ms": "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
+        "tumbling_window": windows.sql_tumbling_window(),
+        "session_window": windows.sql_session_window(),
+        "sliding_window": windows.sql_sliding_window(),
         "text_stats": textstats.sql_text_stats(),
         "lang_id": textstats.sql_lang_id(),
         "doc_dedup_exact": (

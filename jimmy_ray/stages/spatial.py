@@ -251,6 +251,68 @@ def _stable_hash(s: str) -> int:
     return h
 
 
+# --- hex / S2 cell index stages (genuine cell math; rows-only checks) ------
+
+def hex_s2_index_batch(batch: pa.Table) -> pa.Table:
+    """(url, lat_e6, lon_e6) -> + hex r7/r8/r9 + s2 level 10/14 + s2 token.
+
+    Uses the genuine hexagonal index (jimmy_ray.geo.hexcell) and genuine
+    S2 cell ids (jimmy_ray.geo.s2).  Float projections are not bit-exactly
+    SQL-mirrorable, so these columns are covered by scalar-reference unit
+    tests + the driver's rows-only check; the SQL-oracle path uses the
+    integer geocell grid (tile_assign_batch)."""
+    from jimmy_ray.geo import hexcell, s2
+
+    lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+    lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+    cols = {name: batch[name] for name in batch.column_names}
+    for res in hexcell.HEX_RESOLUTIONS:
+        cols[f"hex_r{res}"] = pa.array(hexcell.hexcell_id_e6(lat, lon, res), pa.int64())
+    leaf = s2.latlng_e6_to_cell_id(lat, lon)
+    for level in (10, 14):
+        ids = s2.parent(leaf, level)
+        cols[f"s2_l{level}"] = pa.array(ids.view(np.int64), pa.int64())
+    cols["s2_token_l10"] = pa.array(
+        [s2.token(int(c)) for c in s2.parent(leaf, 10)], pa.string()
+    )
+    return pa.table(cols)
+
+
+def knn_hex_pruned(points_ds, qpoints: list[dict], ring_k: int = 2,
+                   concurrency=(1, 4)):
+    """kNN with hex k-ring candidate pruning (the J9 k-ring expansion
+    path): only pages whose res-7 hex cell falls inside the union of the
+    query points' k-rings are scanned.  Partitioning assumption: ring_k
+    rings at res 7 (~5.5 km hexes) cover the true k nearest neighbors —
+    holds for dense (urban-cluster) data; sparse regions need a larger
+    ring or the exact path (KNNCandidateStage scans everything)."""
+    from jimmy_ray.geo import hexcell
+
+    probe: set[int] = set()
+    for q in qpoints:
+        cell = int(hexcell.hexcell_id_e6(
+            np.int64(q["lat_e6"]), np.int64(q["lon_e6"]), 7))
+        probe.update(int(c) for c in hexcell.k_ring(cell, ring_k))
+
+    def ring_filter(batch: pa.Table) -> pa.Table:
+        cells = hexcell.hexcell_id_e6(
+            batch["lat_e6"].to_numpy(zero_copy_only=False),
+            batch["lon_e6"].to_numpy(zero_copy_only=False), 7)
+        keep = np.array([int(c) in probe for c in cells])
+        return batch.filter(pa.array(keep))
+
+    filtered = points_ds.map_batches(ring_filter, batch_format="pyarrow",
+                                     batch_size=8192)
+    cands = filtered.map_batches(
+        KNNCandidateStage,
+        fn_constructor_kwargs={"qpoints": qpoints},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+    )
+    return knn_finalize(cands, {q["qid"]: q["k"] for q in qpoints})
+
+
 # --- kNN -------------------------------------------------------------------
 
 class KNNCandidateStage:

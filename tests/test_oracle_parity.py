@@ -39,8 +39,8 @@ def test_every_query_has_oracle_or_is_documented():
     # non-SQL-expressible ops are allowed to omit oracles (driver does a
     # rows-only check); keep the list explicit so it stays intentional.
     allowed_without_oracle = {
-        "hexcell_index", "s2_cells", "minhash_dedup", "simhash_dedup",
-        "embedding_ann_lsh", "embedding_dup_pairs",
+        "hexcell_index", "s2_cells", "knn_hex_pruned", "minhash_dedup",
+        "simhash_dedup", "embedding_ann_lsh", "embedding_dup_pairs",
     }
     assert missing <= allowed_without_oracle, f"queries missing oracles: {missing}"
 
