@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontmatter_obsidian": notes.frontmatter_obsidian,
         "link_resolution": notes.link_resolution,
         "event_ts_ms": notes.event_ts_ms,
+        # wiki-markup converter family through format dispatch (M5-M9, S1)
+        "wikitext_extract": lambda sf: __import__(
+            "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
+        ).wikitext_extract(sf),
         # stream-shaped windows over the events log (A2 / guide pattern)
         "tumbling_window": windows.tumbling_window,
         "session_window": windows.session_window,
@@ -286,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
             "  ON p1.doc_id = p8.doc_id - 1"
         ),
         "event_ts_ms": "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
+        "wikitext_extract": __import__(
+            "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
+        ).sql_wikitext_extract(),
         "tumbling_window": windows.sql_tumbling_window(),
         "session_window": windows.sql_session_window(),
         "sliding_window": windows.sql_sliding_window(),

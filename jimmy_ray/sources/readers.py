@@ -1,0 +1,144 @@
+"""Source registry: format name → Ray Data reader (SURVEY.md §2.1).
+
+The reference dispatches 40+ export formats by extension through
+FORMAT_REGISTRY (/root/reference/src/jimmy/variables.py:10-52) and a
+default recursive file walker (converter.py:239-387).  The engine's
+input is tabular, so sources reduce to: (a) the Ray Data readers for
+the on-disk formats, and (b) a per-row format-dispatch stage for rows
+that carry heterogeneous payloads (the default-converter analogue — a
+``format`` column selects the parser inside one map_batches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+
+SOURCE_REGISTRY: dict[str, Callable] = {}
+
+
+def source(name: str):
+    def deco(fn):
+        SOURCE_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@source("parquet")
+def read_parquet(paths, **kwargs):
+    import ray.data as rd
+
+    return rd.read_parquet(paths, **kwargs)
+
+
+@source("json")
+def read_json(paths, **kwargs):
+    import ray.data as rd
+
+    return rd.read_json(paths, **kwargs)
+
+
+@source("csv")
+def read_csv(paths, **kwargs):
+    import ray.data as rd
+
+    return rd.read_csv(paths, **kwargs)
+
+
+@source("text")
+def read_text(paths, **kwargs):
+    """One row per line (the folder-of-markdown family, SURVEY S11)."""
+    import ray.data as rd
+
+    return rd.read_text(paths, **kwargs)
+
+
+@source("binary")
+def read_binary(paths, **kwargs):
+    """(bytes, path) rows — the archive/binary-blob family (SURVEY S6/S10)."""
+    import ray.data as rd
+
+    return rd.read_binary_files(paths, include_paths=True, **kwargs)
+
+
+def open_source(fmt: str, paths, **kwargs):
+    reader = SOURCE_REGISTRY.get(fmt)
+    if reader is None:
+        raise KeyError(f"unknown source format {fmt!r}; have {sorted(SOURCE_REGISTRY)}")
+    return reader(paths, **kwargs)
+
+
+# --- per-row format dispatch (default-converter analogue) ------------------
+
+# extension → logical format, mirrors the accepted-extension sets of
+# variables.py:10-52 (subset relevant to byte payloads in a lakehouse)
+EXTENSION_FORMATS = {
+    ".md": "markdown", ".mdown": "markdown", ".markdown": "markdown",
+    ".txt": "text",
+    ".html": "html", ".htm": "html", ".xhtml": "html",
+    ".json": "json",
+    ".xml": "xml",
+    ".eml": "eml",
+}
+
+
+def detect_format(path: str) -> str:
+    dot = path.rfind(".")
+    ext = path[dot:].lower() if dot >= 0 else ""
+    return EXTENSION_FORMATS.get(ext, "binary")
+
+
+class FormatDispatchStage:
+    """map_batches stage: route each row's payload through the parser for
+    its ``format`` column (converter-per-extension, converter.py:243-316).
+
+    Parsers registered per format; unknown formats fall back to the
+    default (payload passed through, error column set) — row-level fault
+    isolation per SURVEY.md §2.9.
+    """
+
+    def __init__(self, parsers: dict[str, Callable[[bytes], str]] | None = None):
+        from jimmy_ray.html import extract as hx
+        from jimmy_ray.md import wikitext as wt
+
+        def _txt(fn):
+            return lambda b: fn(b.decode("utf-8", errors="replace"))
+
+        self.parsers: dict[str, Callable[[bytes], str]] = {
+            "html": lambda b: hx.html_to_markdown(b),
+            "markdown": lambda b: b.decode("utf-8", errors="replace"),
+            "text": lambda b: b.decode("utf-8", errors="replace"),
+            # wiki-markup family (SURVEY §2.2 M5-M9)
+            "tiddlywiki": _txt(wt.tiddlywiki_to_md),
+            "zim": _txt(wt.zim_to_md),
+            "zettelkasten": _txt(wt.bbcode_to_md),
+            "roam": _txt(wt.roam_to_md),
+            "colornote": _txt(wt.colornote_to_md),
+        }
+        if parsers:
+            self.parsers.update(parsers)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["format"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        texts: list[str] = []
+        errors: list[str | None] = []
+        for fmt, payload in zip(fmts, payloads):
+            parser = self.parsers.get(fmt)
+            if parser is None:
+                texts.append("")
+                errors.append(f"no parser for format {fmt!r}")
+                continue
+            try:
+                texts.append(parser(payload))
+                errors.append(None)
+            except Exception as exc:  # noqa: BLE001 dead-letter semantics
+                texts.append("")
+                errors.append(f"{type(exc).__name__}: {exc}")
+        out = {name: batch[name] for name in batch.column_names
+               if name != "payload"}
+        out["text"] = pa.array(texts, pa.string())
+        out["error"] = pa.array(errors, pa.string())
+        return pa.table(out)

@@ -1,0 +1,108 @@
+"""Engine API: registry, pipeline-spec compiler, source dispatch."""
+
+import pyarrow as pa
+import pytest
+
+from jimmy_ray import api
+from jimmy_ray.sources import readers
+
+
+def test_registry_contains_builtins():
+    for name in ("extract_markdown", "geocode_points", "tile_assign",
+                 "spatial_join", "extract_links", "text_stats"):
+        assert name in api.STAGE_REGISTRY
+
+
+def test_compile_pipeline_end_to_end(ray_session):
+    from jimmy_ray.data import synth
+
+    pages = synth.pages_dataset("/root/testdata/sf0.001")
+    spec = [{"stage": "geocode_points"}, {"stage": "tile_assign"}]
+    out = api.compile_pipeline(pages, spec).to_pandas()
+    assert len(out) > 0
+    assert {"url", "cell_r7", "tile_z10"} <= set(out.columns)
+
+
+def test_unknown_stage_raises():
+    with pytest.raises(KeyError, match="unknown stage"):
+        api.compile_pipeline(None, [{"stage": "nope"}])
+
+
+def test_custom_stage_registration(ray_session):
+    @api.stage("double_lat_test")
+    def _double(factor: int = 2) -> api.StageDef:
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.set_column(
+                batch.schema.get_field_index("lat_e6"), "lat_e6",
+                pc.multiply(batch["lat_e6"], factor),
+            )
+
+        return api.StageDef(fn)
+
+    try:
+        from jimmy_ray.data import synth
+
+        pages = synth.pages_dataset("/root/testdata/sf0.001")
+        base = api.compile_pipeline(pages, [{"stage": "geocode_points"}]).to_pandas()
+        doubled = api.compile_pipeline(
+            pages, [{"stage": "geocode_points"},
+                    {"stage": "double_lat_test", "factor": 3}]
+        ).to_pandas()
+        merged = base.merge(doubled, on="url", suffixes=("_a", "_b"))
+        assert (merged["lat_e6_b"] == merged["lat_e6_a"] * 3).all()
+    finally:
+        del api.STAGE_REGISTRY["double_lat_test"]
+
+
+def test_duplicate_registration_rejected():
+    with pytest.raises(ValueError, match="already registered"):
+        api.stage("extract_markdown")(lambda: api.StageDef(None))
+
+
+def test_source_registry(tmp_path, ray_session):
+    import json
+
+    p = tmp_path / "rows.json"
+    p.write_text("\n".join(json.dumps({"a": i}) for i in range(5)))
+    ds = readers.open_source("json", str(p))
+    assert ds.count() == 5
+    with pytest.raises(KeyError):
+        readers.open_source("sqlite", "x")
+
+
+def test_detect_format():
+    assert readers.detect_format("a/b/c.md") == "markdown"
+    assert readers.detect_format("x.HTML") == "html"
+    assert readers.detect_format("noext") == "binary"
+
+
+def test_format_dispatch_stage():
+    stage = readers.FormatDispatchStage()
+    batch = pa.table({
+        "path": ["a.html", "b.md", "c.weird"],
+        "format": ["html", "markdown", "weird"],
+        "payload": [b"<html><body><p>hi</p></body></html>", b"# t", b"\x00"],
+    })
+    out = stage(batch)
+    assert out["text"].to_pylist() == ["hi", "# t", ""]
+    errs = out["error"].to_pylist()
+    assert errs[0] is None and errs[1] is None
+    assert "no parser" in errs[2]
+
+
+def test_format_dispatch_row_fault_isolation():
+    def bad_parser(_):
+        raise RuntimeError("boom")
+
+    stage = readers.FormatDispatchStage({"markdown": bad_parser})
+    batch = pa.table({
+        "path": ["a.md", "b.html"],
+        "format": ["markdown", "html"],
+        "payload": [b"x", b"<p>ok</p>"],
+    })
+    out = stage(batch)
+    assert out["text"].to_pylist() == ["", "ok"]
+    assert "RuntimeError" in out["error"].to_pylist()[0]
+    assert out["error"].to_pylist()[1] is None
