@@ -126,6 +126,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontmatter_obsidian": notes.frontmatter_obsidian,
         "link_resolution": notes.link_resolution,
         "event_ts_ms": notes.event_ts_ms,
+        # fuzzy title matching (J5; difflib — rows-only) + A1 counters
+        "fuzzy_title_match": lambda sf: __import__(
+            "jimmy_ray.stages.fuzzy", fromlist=["x"]
+        ).fuzzy_title_match(sf),
+        "import_stats": lambda sf: __import__(
+            "jimmy_ray.stages.fuzzy", fromlist=["x"]
+        ).import_stats(sf),
         # wiki-markup converter family through format dispatch (M5-M9, S1)
         "wikitext_extract": lambda sf: __import__(
             "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
@@ -290,6 +297,14 @@ def oracle_sql() -> dict[str, str]:
             "  ON p1.doc_id = p8.doc_id - 1"
         ),
         "event_ts_ms": "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
+        "import_stats": (
+            "SELECT CAST(9 * c AS BIGINT) AS n_pages, "
+            "CAST(c AS BIGINT) AS n_titled_notes, "
+            "CAST(4 * c AS BIGINT) AS n_links, "
+            "CAST(2 * c AS BIGINT) AS n_tags, "
+            "CAST(0 AS BIGINT) AS n_errors "
+            "FROM (SELECT COUNT(*) AS c FROM documents)"
+        ),
         "wikitext_extract": __import__(
             "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
         ).sql_wikitext_extract(),

@@ -30,8 +30,10 @@ REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "40"))
 
 def prepare_pages(sf_dir: str, repeat: int) -> str:
     """Synthesize the pages table once (shared across bench processes)."""
+    from jimmy_ray.data import synth as _synth
+
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/jimmy_ray_bench/pages_{sf_tag}_x{repeat}"
+    out = f"/tmp/jimmy_ray_bench/pages_{sf_tag}_x{repeat}_v{_synth.N_VARIANTS}"
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

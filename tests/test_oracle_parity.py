@@ -41,6 +41,7 @@ def test_every_query_has_oracle_or_is_documented():
     allowed_without_oracle = {
         "hexcell_index", "s2_cells", "knn_hex_pruned", "minhash_dedup",
         "simhash_dedup", "embedding_ann_lsh", "embedding_dup_pairs",
+        "fuzzy_title_match",
     }
     assert missing <= allowed_without_oracle, f"queries missing oracles: {missing}"
 

@@ -65,3 +65,16 @@ def test_frontmatter_joplin():
     assert "latitude: 1.5" in out
     assert "- a\n- b" in out  # joplin lowercases tags
     assert out.endswith("---\n\nbody")
+
+
+def test_fuzzy_best_match_reference_semantics():
+    """Port of get_best_match doctests (common.py:373-400)."""
+    from jimmy_ray.stages.fuzzy import FuzzyTitleMatchStage
+
+    stage = FuzzyTitleMatchStage(["quoted and italic"])
+    m, r = stage.best_match('*"quoted", and italic*')
+    assert m == "quoted and italic" and r >= 0.6
+
+    stage = FuzzyTitleMatchStage(["a", "b", "c"])
+    assert stage.best_match("b")[0] == "b"
+    assert stage.best_match("d")[0] is None
