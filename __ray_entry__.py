@@ -126,6 +126,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontmatter_obsidian": notes.frontmatter_obsidian,
         "link_resolution": notes.link_resolution,
         "event_ts_ms": notes.event_ts_ms,
+        # MIME / XML-container / encrypted sources (S5, S6/S9, S10, M25-M26)
+        "eml_extract": lambda sf: __import__(
+            "jimmy_ray.sources.eml", fromlist=["x"]
+        ).eml_extract(sf),
+        "xml_notes_extract": lambda sf: __import__(
+            "jimmy_ray.sources.xmlnotes", fromlist=["x"]
+        ).xml_notes_extract(sf),
+        "decrypt_notes": lambda sf: __import__(
+            "jimmy_ray.scalars.crypto", fromlist=["x"]
+        ).decrypt_notes(sf),
+        # resource sink: md5 dedup + deterministic unique names (A3, §2.7)
+        "resource_sink_names": lambda sf: __import__(
+            "jimmy_ray.stages.resources", fromlist=["x"]
+        ).resource_sink_names(sf),
         # fuzzy title matching (J5; difflib — rows-only) + A1 counters
         "fuzzy_title_match": lambda sf: __import__(
             "jimmy_ray.stages.fuzzy", fromlist=["x"]
@@ -297,6 +311,16 @@ def oracle_sql() -> dict[str, str]:
             "  ON p1.doc_id = p8.doc_id - 1"
         ),
         "event_ts_ms": "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
+        "eml_extract": __import__(
+            "jimmy_ray.sources.eml", fromlist=["x"]
+        ).sql_eml_extract(),
+        "xml_notes_extract": __import__(
+            "jimmy_ray.sources.xmlnotes", fromlist=["x"]
+        ).sql_xml_notes_extract(),
+        "decrypt_notes": "SELECT doc_id, text FROM documents",
+        "resource_sink_names": __import__(
+            "jimmy_ray.stages.resources", fromlist=["x"]
+        ).sql_resource_sink_names(),
         "import_stats": (
             "SELECT CAST(9 * c AS BIGINT) AS n_pages, "
             "CAST(c AS BIGINT) AS n_titled_notes, "
