@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_shuffle": lambda sf: __import__(
             "jimmy_ray.stages.spatial", fromlist=["spatial_join_shuffle"]
         ).spatial_join_shuffle(flagship.geo_points(sf)),
+        "spatial_join_native": lambda sf: __import__(
+            "jimmy_ray.stages.spatial", fromlist=["spatial_join_native"]
+        ).spatial_join_native(flagship.geo_points(sf)),
         # kNN (J9): bounded per-batch top-k + merge
         "knn": flagship.knn,
         # tile aggregation (A4)
@@ -93,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generic relational operators (A1-A3, J1-J4 analogues on TPC-H tables)
         "q_lineitem_agg": relational.lineitem_agg,
         "q_orders_join": relational.orders_join,
+        "q_lineitem_orders_join": relational.lineitem_orders_join,
         "q_top_orders": relational.top_orders,
         # text analysis (training-data tier)
         "text_stats": lambda sf: __import__(
@@ -196,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spatial_join": spatial_join_sql,
         "spatial_join_shuffle": spatial_join_sql,
+        "spatial_join_native": spatial_join_sql,
         "knn": (
             f"{_POINTS_CTE},\n"
             f"qp(qid, qlat, qlon, k) AS (VALUES {qp_values}),\n"
@@ -223,6 +228,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
+        ),
+        "q_lineitem_orders_join": (
+            "SELECT o.o_orderpriority, "
+            "SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) "
+            "AS BIGINT)) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
         ),
         "q_top_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

@@ -40,7 +40,10 @@ def prepare_pages(sf_dir: str, repeat: int) -> str:
     from jimmy_ray.data import synth
 
     ds = synth.pages_dataset(sf_dir, repeat=repeat)
-    ds.write_parquet(out)
+    # pin the output layout: downstream read parallelism is bounded by file
+    # count, so the corpus must look identical no matter which parallelism
+    # level happened to synthesize it first
+    ds.repartition(64).write_parquet(out)
     with open(done, "w") as fh:
         fh.write("ok")
     return out

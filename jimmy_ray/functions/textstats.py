@@ -98,6 +98,58 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- winnowing fingerprints (document fingerprinting, scale path) ----------
+
+WINNOW_K = 5  # k-gram length (characters)
+WINNOW_W = 8  # winnowing window
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+    algorithm): k-gram rolling hashes, one minimum per window, rightmost
+    min on ties.  Guarantees: any shared substring of length >= w + k - 1
+    yields at least one shared fingerprint."""
+    norm = " ".join(text.lower().split())
+    if len(norm) < k:
+        return []
+    base = 257
+    mod = (1 << 61) - 1
+    basek = pow(base, k - 1, mod)
+    h = 0
+    hashes = []
+    for i, ch in enumerate(norm):
+        o = ord(ch)
+        if i < k:
+            h = (h * base + o) % mod
+            if i == k - 1:
+                hashes.append(h)
+        else:
+            h = ((h - ord(norm[i - k]) * basek) * base + o) % mod
+            hashes.append(h)
+    if len(hashes) <= w:
+        return sorted(set(hashes))
+    fps = set()
+    for start in range(len(hashes) - w + 1):
+        window = hashes[start : start + w]
+        m = min(window)
+        # rightmost minimum
+        idx = len(window) - 1 - window[::-1].index(m)
+        fps.add(hashes[start + idx])
+    return sorted(fps)
+
+
+def winnow_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> exploded (doc_id, fingerprint) rows."""
+    ids: list[int] = []
+    fps: list[int] = []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        for fp in winnow_fingerprints(text):
+            ids.append(doc_id)
+            fps.append(fp)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "fingerprint": pa.array(fps, pa.int64())})
+
+
 # --- SQL mirrors -----------------------------------------------------------
 
 def sql_text_stats() -> str:

@@ -91,6 +91,52 @@ def orders_join(sf_dir: str):
     )
 
 
+def lineitem_orders_join(sf_dir: str, num_partitions: int = 16):
+    """Large ⋈ large via Ray's native hash join (Dataset.join): lineitem ⋈
+    orders on orderkey, then revenue cents per order priority (the J1-class
+    shuffle join when neither side fits a broadcast)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        # half_towards_infinity == DuckDB round(): exact .5 boundaries agree
+        cents = pc.cast(
+            pc.round(pc.multiply(revenue, 100.0), 0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                      "cents": cents})
+        g = t.group_by("o_orderpriority").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "p_cents", "p_n"])
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).aggregate(
+        Sum("p_cents", alias_name="revenue_cents"),
+        Sum("p_n", alias_name="n_items"),
+    )
+
+
 def top_orders(sf_dir: str, n: int = 10):
     """Distributed sort + limit with deterministic tie-break (§2.6)."""
     import ray.data as rd

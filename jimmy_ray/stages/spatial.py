@@ -251,6 +251,59 @@ def _stable_hash(s: str) -> int:
     return h
 
 
+def spatial_join_native(points_ds, res: int = JOIN_RES, num_partitions: int = 16):
+    """PIP join via Ray's native hash join (Dataset.join, hash-partitioned
+    on the cell key): points keyed by res-R cell ⋈ exploded polygon cell
+    cover → candidates → exact integer ray-cast refine.  The third join
+    strategy next to the broadcast and hand-salted-shuffle variants;
+    results are identical (asserted by the shared oracle)."""
+    import ray.data as rd
+
+    polys = poly_mod.fixture_polygons()
+    verts_by_id = {p["polygon_id"]: p["verts"] for p in polys}
+    cover_rows = [
+        (int(cell), p["polygon_id"])
+        for p in polys
+        for cell in poly_mod.polygon_cell_cover(p["verts"], res)
+    ]
+    cover_ds = rd.from_arrow(
+        pa.table(
+            {
+                "cell": pa.array([c for c, _ in cover_rows], pa.int64()),
+                "polygon_id": pa.array([p for _, p in cover_rows], pa.string()),
+            }
+        )
+    )
+
+    def key_points(batch: pa.Table) -> pa.Table:
+        cells = core.geocell_id(
+            batch["lat_e6"].to_numpy(zero_copy_only=False),
+            batch["lon_e6"].to_numpy(zero_copy_only=False),
+            res,
+        )
+        return batch.append_column("cell", pa.array(cells, pa.int64()))
+
+    keyed = points_ds.map_batches(key_points, batch_format="pyarrow")
+    candidates = keyed.join(
+        cover_ds, join_type="inner", num_partitions=num_partitions, on=("cell",)
+    )
+
+    def refine(batch: pa.Table) -> pa.Table:
+        lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+        lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+        pids = batch["polygon_id"].to_pylist()
+        keep = np.zeros(len(lat), dtype=bool)
+        pid_arr = np.asarray(pids, dtype=object)
+        for pid in set(pids):
+            rows = np.nonzero(pid_arr == pid)[0]
+            inside = poly_mod.point_in_polygon(lon[rows], lat[rows],
+                                               verts_by_id[pid])
+            keep[rows[inside]] = True
+        return batch.filter(pa.array(keep)).select(["url", "polygon_id"])
+
+    return candidates.map_batches(refine, batch_format="pyarrow", batch_size=8192)
+
+
 # --- hex / S2 cell index stages (genuine cell math; rows-only checks) ------
 
 def hex_s2_index_batch(batch: pa.Table) -> pa.Table:
