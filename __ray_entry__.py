@@ -128,7 +128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "safe_paths": notes.safe_paths,
         "filter_notes": notes.filter_notes,
         "frontmatter_obsidian": notes.frontmatter_obsidian,
+        "frontmatter_futo": notes.frontmatter_futo,
+        "template_apply": notes.template_apply,
+        "filter_tags": notes.filter_tags,
         "link_resolution": notes.link_resolution,
+        "word_count": textstats.word_count,
+        "label_centroids": textstats.label_centroids,
         "event_ts_ms": notes.event_ts_ms,
         # MIME / XML-container / encrypted sources (S5, S6/S9, S10, M25-M26)
         "eml_extract": lambda sf: __import__(
@@ -308,6 +313,30 @@ def oracle_sql() -> dict[str, str]:
             "  || '---' || chr(10) || chr(10) || text AS fm_body\n"
             "FROM pages WHERE v = 8"
         ),
+        "frontmatter_futo": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url, '#common #tag' || CAST(doc_id AS VARCHAR)\n"
+            "  || chr(10) || chr(10) || text AS fm_body\n"
+            "FROM pages WHERE v = 8"
+        ),
+        "template_apply": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url,\n"
+            "  (CASE WHEN v = 1 THEN 'Doc ' || CAST(doc_id AS VARCHAR)\n"
+            "        ELSE 'null' END)\n"
+            "  || ' [' || lang || ']' || chr(10) || chr(10) ||\n"
+            "  (CASE WHEN v = 1 THEN\n"
+            "     ltrim(substr(text, strpos(text, chr(10)) + 1), ' ' || chr(10))\n"
+            "   ELSE text END) AS templated\n"
+            "FROM pages"
+        ),
+        "filter_tags": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url, 'tag' || CAST(doc_id AS VARCHAR) AS tag\n"
+            "FROM pages WHERE v = 8"
+        ),
+        "word_count": textstats.sql_word_count(),
+        "label_centroids": textstats.sql_label_centroids(),
         "link_resolution": (
             f"{_PAGES_CTE}\n"
             "SELECT p8.url AS url,\n"

@@ -88,9 +88,11 @@ def run_bench() -> dict:
     def pages_ds():
         return rd.read_parquet(pages_dir)
 
+    from ray.data.aggregate import Sum
+
     def points_ds():
         return pages_ds().map_batches(
-            ex.geocode_points_batch, batch_format="pyarrow", batch_size=1024
+            ex.geocode_points_batch, batch_format="pyarrow", batch_size=8192
         )
 
     # q1: extraction map_batches (the jimmy-parity stage)
@@ -98,31 +100,25 @@ def run_bench() -> dict:
         ex.extract_markdown_batch, batch_format="pyarrow", batch_size=256
     ).count())
 
-    # q2: geocode + cell/tile assignment + tile aggregation
+    # q2: geocode + cell/tile assignment + partial-agg tile counts
     timed("tile_assign", lambda: points_ds().map_batches(
-        sp.tile_assign_batch, batch_format="pyarrow", batch_size=8192
-    ).groupby("tile_z10").aggregate(Count(alias_name="n_pages")).count())
+        sp.tile_count_partial_batch, batch_format="pyarrow", batch_size=32768
+    ).groupby("tile_z10").aggregate(Sum("p_n", alias_name="n_pages")).count())
 
-    # q3: broadcast cell-indexed point-in-polygon join (headline)
+    # q3: broadcast cell-indexed point-in-polygon join (headline) —
+    # task path with per-worker cached index (no actor pool spin-up)
     timed("spatial_join", lambda: points_ds().map_batches(
-        sp.SpatialJoinStage,
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=max(2, NUM_CPUS // 2),
+        sp.spatial_join_batch, batch_format="pyarrow", batch_size=32768
     ).groupby("polygon_id").aggregate(Count(alias_name="n_pages")).count())
 
     # q4: salted shuffle join variant (the all-to-all exchange path)
     timed("spatial_join_shuffle", lambda: sp.spatial_join_shuffle(points_ds()).count())
 
-    # q5: kNN (bounded top-k + merge)
+    # q5: kNN (bounded top-k + merge), task path
     qpoints = synth.query_points(50)
     timed("knn", lambda: sp.knn_finalize(
         points_ds().map_batches(
-            sp.KNNCandidateStage,
-            fn_constructor_kwargs={"qpoints": qpoints},
-            batch_format="pyarrow",
-            batch_size=8192,
-            concurrency=max(2, NUM_CPUS // 2),
+            sp.knn_candidates_batch, batch_format="pyarrow", batch_size=32768
         ),
         {q["qid"]: q["k"] for q in qpoints},
     ).count())

@@ -98,6 +98,91 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def word_count(sf_dir: str):
+    """Corpus vocabulary counts (the canonical partial-agg wordcount):
+    per-batch token histograms -> groupby(token) sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        counts: dict[str, int] = {}
+        pat = _re.compile(TOKEN_RE)
+        for text in batch["text"].to_pylist():
+            for tok in pat.findall(text.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"token": pa.array(list(counts), pa.string()),
+                         "p_n": pa.array(list(counts.values()), pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).groupby(
+        "token"
+    ).aggregate(Sum("p_n", alias_name="n"))
+
+
+def sql_word_count() -> str:
+    return (
+        "SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS t "
+        "FROM documents) GROUP BY t"
+    )
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroids (groupby + vector mean), rounded to
+    6 decimals on both engines (float sums: see module determinism note)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch["label"].to_pylist())
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        rows = []
+        for lbl in np.unique(labels):
+            sel = vecs[labels == lbl]
+            rows.append((int(lbl), sel.sum(axis=0), len(sel)))
+        return pa.table({
+            "label": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_sum": pa.array([list(r[1]) for r in rows],
+                                pa.list_(pa.float64())),
+            "p_n": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        total = np.sum(np.stack(group["vec_sum"].to_numpy()), axis=0)
+        n = int(group["p_n"].sum())
+        centroid = np.round(total / n, 6)
+        out = pd.DataFrame({
+            "label": [int(group["label"].iloc[0])],
+            "n_vectors": [n],
+        })
+        for d, v in enumerate(centroid):
+            out[f"c{d:02d}"] = v
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def sql_label_centroids(dim: int = 64) -> str:
+    cols = ", ".join(
+        f"round(AVG(CAST(embedding[{d + 1}] AS DOUBLE)), 6) AS c{d:02d}"
+        for d in range(dim)
+    )
+    return (
+        f"SELECT CAST(label AS BIGINT) AS label, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_vectors, {cols} "
+        "FROM embeddings GROUP BY label"
+    )
+
+
 # --- winnowing fingerprints (document fingerprinting, scale path) ----------
 
 WINNOW_K = 5  # k-gram length (characters)

@@ -157,6 +157,59 @@ def frontmatter_obsidian(sf_dir: str):
     return _extracted_pages(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def frontmatter_futo(sf_dir: str):
+    """Futo header-tag-block dialect (M20, intermediate_format.py:235-247)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls_out, bodies_out = [], []
+        for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            tags = md_tags.get_inline_tags(text)
+            if not tags:
+                continue
+            urls_out.append(url)
+            bodies_out.append(fm.apply_frontmatter(text, "futo", tags=tags))
+        return pa.table({"url": pa.array(urls_out, pa.string()),
+                         "fm_body": pa.array(bodies_out, pa.string())})
+
+    return _extracted_pages(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def template_apply(sf_dir: str, template: str = "{title} [{lang}]\n\n{body}"):
+    """User-template formatting (M21, intermediate_format.py:214-227):
+    note fields flow into a {field} template; missing fields -> null."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls, bodies = [], []
+        for url, lang, text in zip(
+            batch["url"].to_pylist(), batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            title, body = md_text.split_title_from_body(text)
+            urls.append(url)
+            bodies.append(
+                fm.apply_template(template, title=title or None,
+                                  lang=lang, body=body)
+            )
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "templated": pa.array(bodies, pa.string())})
+
+    return _extracted_pages(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def filter_tags(sf_dir: str, exclude: tuple[str, ...] = ("common",)):
+    """Tag exclude filter (F3, filters.py:44-59) over the exploded tags."""
+    import fnmatch as _fn
+    import re as _re
+
+    pattern = _re.compile("|".join(_fn.translate(g) for g in exclude))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = [not pattern.match(t) for t in batch["tag"].to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    return inline_tags(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 # --- link resolution join (J1) ---------------------------------------------
 
 def link_resolution(sf_dir: str):

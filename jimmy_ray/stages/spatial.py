@@ -24,6 +24,8 @@ Two join strategies:
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -249,6 +251,43 @@ def _stable_hash(s: str) -> int:
         h ^= b
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+@_functools.lru_cache(maxsize=4)
+def _default_join_stage(res: int = JOIN_RES) -> "SpatialJoinStage":
+    """Once-per-worker-process join index (lru_cache ≙ actor state, but
+    elastic: stateless tasks reuse warm worker processes with zero actor
+    pool spin-up — the right trade for small fixed state; actor pools
+    remain the path for big state like a custom polygon set)."""
+    return SpatialJoinStage(res=res)
+
+
+def spatial_join_batch(batch: pa.Table) -> pa.Table:
+    """Task-path broadcast PIP join (cached per-process index)."""
+    return _default_join_stage()(batch)
+
+
+def tile_count_partial_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized partial tile counts (A1 combiner): emit one row per tile
+    per batch so the global groupby shuffles tiles, not pages."""
+    lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+    lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+    tiles = core.tile_id(lat, lon, 10)
+    uniq, counts = np.unique(tiles, return_counts=True)
+    return pa.table({"tile_z10": pa.array(uniq, pa.int64()),
+                     "p_n": pa.array(counts, pa.int64())})
+
+
+@_functools.lru_cache(maxsize=4)
+def _default_knn_stage(n_queries: int) -> "KNNCandidateStage":
+    from jimmy_ray.data import synth
+
+    return KNNCandidateStage(synth.query_points(n_queries))
+
+
+def knn_candidates_batch(batch: pa.Table, n_queries: int = 50) -> pa.Table:
+    """Task-path kNN candidates (cached per-process query matrix)."""
+    return _default_knn_stage(n_queries)(batch)
 
 
 def spatial_join_native(points_ds, res: int = JOIN_RES, num_partitions: int = 16):
