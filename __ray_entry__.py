@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wikitext_extract": lambda sf: __import__(
             "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
         ).wikitext_extract(sf),
+        "lexical_extract": lambda sf: __import__(
+            "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
+        ).lexical_extract(sf),
         # stream-shaped windows over the events log (A2 / guide pattern)
         "tumbling_window": windows.tumbling_window,
         "session_window": windows.session_window,
@@ -374,6 +377,9 @@ def oracle_sql() -> dict[str, str]:
         "wikitext_extract": __import__(
             "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
         ).sql_wikitext_extract(),
+        "lexical_extract": __import__(
+            "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
+        ).sql_lexical_extract(),
         "tumbling_window": windows.sql_tumbling_window(),
         "session_window": windows.sql_session_window(),
         "sliding_window": windows.sql_sliding_window(),

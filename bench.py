@@ -143,8 +143,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
+    # the N-vs-4N evidence run uses a 3x larger corpus than the plain bench
+    # so per-stage fixed costs (session + scheduling floor ~1.5 s) don't
+    # mask the compute scaling being measured
+    scaling_repeat = os.environ.get("GRAFT_SCALING_REPEAT", "120")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPEAT=scaling_repeat)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -59,6 +59,62 @@ def wikitext_extract(sf_dir: str):
     return converted.select_columns(["doc_id", "format", "text"])
 
 
+def lexical_corpus_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> Lexical/Super JSON payloads (M10 fixtures)."""
+    import json
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    payloads = []
+    for doc_id, text in zip(ids, texts):
+        d = {"root": {"type": "root", "children": [
+            {"type": "heading", "tag": "h1",
+             "children": [{"type": "text", "text": f"Doc {doc_id}", "format": 0}]},
+            {"type": "paragraph", "children": [
+                {"type": "text", "text": "intro ", "format": 1},
+                {"type": "text", "text": text, "format": 0},
+            ]},
+            {"type": "list", "listType": "check", "children": [
+                {"type": "listitem", "checked": True,
+                 "children": [{"type": "text", "text": f"done {doc_id}",
+                               "format": 0}]},
+                {"type": "listitem", "checked": False,
+                 "children": [{"type": "text", "text": f"todo {doc_id}",
+                               "format": 0}]},
+            ]},
+        ]}}
+        payloads.append(json.dumps(d))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "super_json": pa.array(payloads, pa.string())})
+
+
+def lexical_extract(sf_dir: str):
+    import ray.data as rd
+
+    from jimmy_ray.md.lexical import super_to_markdown
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = ds.map_batches(lexical_corpus_batch, batch_format="pyarrow")
+
+    def convert(batch: pa.Table) -> pa.Table:
+        mds = [super_to_markdown(j) for j in batch["super_json"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(mds, pa.string())})
+
+    return corpus.map_batches(convert, batch_format="pyarrow", batch_size=512)
+
+
+def sql_lexical_extract() -> str:
+    return (
+        "SELECT doc_id, "
+        "'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || "
+        "'**intro **' || text || chr(10) || chr(10) || "
+        "'- [x] done ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+        "'- [ ] todo ' || CAST(doc_id AS VARCHAR) AS text "
+        "FROM documents"
+    )
+
+
 def sql_wikitext_extract() -> str:
     fmt_case = "CASE doc_id % 5 " + " ".join(
         f"WHEN {i} THEN '{k}'" for i, k in enumerate(KINDS[:-1])
