@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decrypt_notes": lambda sf: __import__(
             "jimmy_ray.scalars.crypto", fromlist=["x"]
         ).decrypt_notes(sf),
+        "sqlite_notes": lambda sf: __import__(
+            "jimmy_ray.sources.readers", fromlist=["x"]
+        ).sqlite_notes(sf),
         # resource sink: md5 dedup + deterministic unique names (A3, §2.7)
         "resource_sink_names": lambda sf: __import__(
             "jimmy_ray.stages.resources", fromlist=["x"]
@@ -363,6 +366,10 @@ def oracle_sql() -> dict[str, str]:
             "jimmy_ray.sources.xmlnotes", fromlist=["x"]
         ).sql_xml_notes_extract(),
         "decrypt_notes": "SELECT doc_id, text FROM documents",
+        "sqlite_notes": (
+            "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
+            "text AS body FROM documents"
+        ),
         "resource_sink_names": __import__(
             "jimmy_ray.stages.resources", fromlist=["x"]
         ).sql_resource_sink_names(),

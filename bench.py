@@ -151,9 +151,15 @@ def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_REPEAT=scaling_repeat)
+        # ray.init(num_cpus=N) only caps Ray task slots — pyarrow's
+        # internal IO/compute thread pools and the raylet would still use
+        # every core, flattering the low-parallelism run.  Pin the whole
+        # process tree to N cores so "N CPUs" means N CPUs (the honest
+        # small-cluster emulation).
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}",
+               sys.executable, os.path.abspath(__file__)]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

@@ -63,6 +63,55 @@ def read_binary(paths, **kwargs):
     return rd.read_binary_files(paths, include_paths=True, **kwargs)
 
 
+@source("sqlite")
+def read_sqlite(path, query: str = "SELECT * FROM notes", **kwargs):
+    """SQLite-backed source (SURVEY S7: Anki/AFFiNE/QOwnNotes pattern —
+    /root/reference/src/jimmy/formats/anki.py:108-157): the driver reads
+    the database (sqlite connections don't shard) and hands the rows to
+    Ray as an Arrow table; per-row conversion continues distributed."""
+    import sqlite3
+
+    import pyarrow as _pa
+    import ray.data as rd
+
+    con = sqlite3.connect(path)
+    try:
+        cur = con.execute(query)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        con.close()
+    columns = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    return rd.from_arrow(_pa.table(columns))
+
+
+def sqlite_notes(sf_dir: str):
+    """S7 end-to-end: documents → deterministic sqlite db → read back
+    through the sqlite source → notes rows."""
+    import os
+    import sqlite3
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db = f"/tmp/jimmy_ray_sqlite_{tag}.db"
+    if not os.path.exists(db):
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        tmp = db + f".tmp.{os.getpid()}"
+        con = sqlite3.connect(tmp)
+        con.execute("CREATE TABLE notes (doc_id INTEGER, title TEXT, body TEXT)")
+        con.executemany(
+            "INSERT INTO notes VALUES (?, ?, ?)",
+            [(d, f"Doc {d}", t) for d, t in
+             zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())],
+        )
+        con.commit()
+        con.close()
+        os.replace(tmp, db)
+    return read_sqlite(db, "SELECT doc_id, title, body FROM notes")
+
+
 def open_source(fmt: str, paths, **kwargs):
     reader = SOURCE_REGISTRY.get(fmt)
     if reader is None:
