@@ -374,7 +374,7 @@ def oracle_sql() -> dict[str, str]:
             "jimmy_ray.stages.resources", fromlist=["x"]
         ).sql_resource_sink_names(),
         "import_stats": (
-            "SELECT CAST(9 * c AS BIGINT) AS n_pages, "
+            f"SELECT CAST({synth.N_VARIANTS} * c AS BIGINT) AS n_pages, "
             "CAST(c AS BIGINT) AS n_titled_notes, "
             "CAST(4 * c AS BIGINT) AS n_links, "
             "CAST(2 * c AS BIGINT) AS n_tags, "

@@ -78,23 +78,33 @@ def _parse_geo_heads(heads: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarr
 
 def geocode_batch(batch: pa.Table) -> pa.Table:
     """Append nullable int64 lat_e6 / lon_e6 parsed from the html head."""
-    heads = pd.Series(
-        [h[:_HEAD_BYTES].decode("utf-8", errors="replace") for h in batch["html"].to_pylist()]
-    )
-    has_geo, lat_e6, lon_e6 = _parse_geo_heads(heads)
+    has_geo, lat_e6, lon_e6 = _parse_geo_heads(_decode_heads(batch))
     null_mask = ~has_geo
     lat_col = pa.array(lat_e6, pa.int64(), mask=null_mask)
     lon_col = pa.array(lon_e6, pa.int64(), mask=null_mask)
     return batch.append_column("lat_e6", lat_col).append_column("lon_e6", lon_col)
 
 
+def _decode_heads(batch: pa.Table) -> pd.Series:
+    """First _HEAD_BYTES of html as strings — vectorized Arrow fast path
+    (binary_slice + cast), falling back to per-row decode only if the
+    slice cut a multibyte codepoint somewhere in the batch."""
+    import pyarrow.compute as pc
+
+    sliced = pc.binary_slice(batch["html"], 0, _HEAD_BYTES)
+    try:
+        return pc.cast(sliced, pa.string()).to_pandas()
+    except pa.ArrowInvalid:
+        return pd.Series(
+            [h[:_HEAD_BYTES].decode("utf-8", errors="replace")
+             for h in batch["html"].to_pylist()]
+        )
+
+
 def geocode_points_batch(batch: pa.Table) -> pa.Table:
     """Like geocode_batch but emits only located rows (url, lat_e6, lon_e6)
     — drops the wide html column early (SURVEY.md §4 memory row)."""
-    heads = pd.Series(
-        [h[:_HEAD_BYTES].decode("utf-8", errors="replace") for h in batch["html"].to_pylist()]
-    )
-    has_geo, lat_e6, lon_e6 = _parse_geo_heads(heads)
+    has_geo, lat_e6, lon_e6 = _parse_geo_heads(_decode_heads(batch))
     return pa.table(
         {
             "url": batch["url"].filter(pa.array(has_geo)),

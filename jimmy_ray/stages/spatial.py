@@ -81,33 +81,54 @@ class SpatialJoinStage:
         lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
         lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
         urls = batch["url"]
-        cells = core.geocell_id(lat, lon, self.res)
         out_idx: list[np.ndarray] = []
         out_pid: list[str] = []
-        uniq, inverse = np.unique(cells, return_inverse=True)
-        for u_i, cell in enumerate(uniq):
-            cand = self.cell_candidates.get(int(cell))
-            if not cand:
-                continue
-            rows = np.nonzero(inverse == u_i)[0]
-            for pi in cand:
+        if len(self.polys) <= 64:
+            # few polygons: loop polygons, fully vectorized over points
+            # (bbox mask then exact refine) — O(P) python iterations/batch
+            for pi, poly in enumerate(self.polys):
                 min_x, min_y, max_x, max_y = self.bboxes[pi]
-                sub_lat = lat[rows]
-                sub_lon = lon[rows]
                 bbox_ok = (
-                    (sub_lat >= min_y) & (sub_lat <= max_y)
-                    & (sub_lon >= min_x) & (sub_lon <= max_x)
+                    (lat >= min_y) & (lat <= max_y)
+                    & (lon >= min_x) & (lon <= max_x)
                 )
                 if not bbox_ok.any():
                     continue
-                cand_rows = rows[bbox_ok]
+                cand_rows = np.nonzero(bbox_ok)[0]
                 inside = poly_mod.point_in_polygon(
-                    lon[cand_rows], lat[cand_rows], self.polys[pi]["verts"]
+                    lon[cand_rows], lat[cand_rows], poly["verts"]
                 )
                 hit = cand_rows[inside]
                 if hit.size:
                     out_idx.append(hit)
-                    out_pid.extend([self.polys[pi]["polygon_id"]] * hit.size)
+                    out_pid.extend([poly["polygon_id"]] * hit.size)
+        else:
+            # many polygons: cell-indexed candidate pruning
+            cells = core.geocell_id(lat, lon, self.res)
+            uniq, inverse = np.unique(cells, return_inverse=True)
+            for u_i, cell in enumerate(uniq):
+                cand = self.cell_candidates.get(int(cell))
+                if not cand:
+                    continue
+                rows = np.nonzero(inverse == u_i)[0]
+                for pi in cand:
+                    min_x, min_y, max_x, max_y = self.bboxes[pi]
+                    sub_lat = lat[rows]
+                    sub_lon = lon[rows]
+                    bbox_ok = (
+                        (sub_lat >= min_y) & (sub_lat <= max_y)
+                        & (sub_lon >= min_x) & (sub_lon <= max_x)
+                    )
+                    if not bbox_ok.any():
+                        continue
+                    cand_rows = rows[bbox_ok]
+                    inside = poly_mod.point_in_polygon(
+                        lon[cand_rows], lat[cand_rows], self.polys[pi]["verts"]
+                    )
+                    hit = cand_rows[inside]
+                    if hit.size:
+                        out_idx.append(hit)
+                        out_pid.extend([self.polys[pi]["polygon_id"]] * hit.size)
         if out_idx:
             idx = np.concatenate(out_idx)
             return pa.table(
