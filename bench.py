@@ -165,30 +165,35 @@ def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_REPEAT=scaling_repeat)
-        # ray.init(num_cpus=N) only caps Ray task slots — pyarrow's
-        # internal IO/compute thread pools and the raylet would still use
-        # every core, flattering the low-parallelism run.  Pin the whole
-        # process tree to N cores so "N CPUs" means N CPUs (the honest
-        # small-cluster emulation).
-        cmd = ["taskset", "-c", f"0-{ncpu - 1}",
+        # ray.init(num_cpus=N) only caps Ray task slots — pyarrow thread
+        # pools and the raylet would otherwise use every core, flattering
+        # the low-parallelism run.  Pin to N worker cores + 2 system
+        # cores: on a real N-node vs 4N-node cluster every node carries
+        # its own raylet/object-store, so system services get the same
+        # per-level allowance instead of stealing worker cores.
+        cmd = ["taskset", "-c", f"0-{ncpu + 1}",
                sys.executable, os.path.abspath(__file__)]
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    n_lo = int(os.environ.get("GRAFT_SCALING_N", "4"))
+    n_hi = 4 * n_lo
+    lo, hi = run(n_lo), run(n_hi)
     r_lo = lo["rows_per_s"]["spatial_tile_headline"]
     r_hi = hi["rows_per_s"]["spatial_tile_headline"]
-    eff = (r_hi / r_lo) / (32 / 8)
+    eff = (r_hi / r_lo) / (n_hi / n_lo)
     print(json.dumps({
-        "headline_rows_per_s_8": r_lo,
-        "headline_rows_per_s_32": r_hi,
+        "n_cpus_lo": n_lo,
+        "n_cpus_hi": n_hi,
+        f"headline_rows_per_s_{n_lo}": r_lo,
+        f"headline_rows_per_s_{n_hi}": r_hi,
         "scaling_efficiency": round(eff, 3),
-        "extract_rows_per_s_8": lo["rows_per_s"]["extract"],
-        "extract_rows_per_s_32": hi["rows_per_s"]["extract"],
-        "queries_8": lo["queries"],
-        "queries_32": hi["queries"],
+        f"extract_rows_per_s_{n_lo}": lo["rows_per_s"]["extract"],
+        f"extract_rows_per_s_{n_hi}": hi["rows_per_s"]["extract"],
+        "queries_lo": lo["queries"],
+        "queries_hi": hi["queries"],
         "pages": hi["pages"],
     }))
 
