@@ -69,7 +69,7 @@ def test_source_registry(tmp_path, ray_session):
     ds = readers.open_source("json", str(p))
     assert ds.count() == 5
     with pytest.raises(KeyError):
-        readers.open_source("sqlite", "x")
+        readers.open_source("mongodb", "x")
 
 
 def test_detect_format():
