@@ -117,7 +117,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "ann_topk": simsearch.ann_topk,
         "embedding_ann_lsh": simsearch.ann_topk_lsh,
+        "embedding_ann_ivf": simsearch.ann_topk_ivf,
         "embedding_dup_pairs": simsearch.embedding_dup_pairs,
+        # mergeable sketches (approximate; no SQL oracle by design)
+        "approx_distinct_tokens": lambda sf: __import__(
+            "jimmy_ray.functions.sketches", fromlist=["x"]
+        ).approx_distinct_tokens(sf),
+        "heavy_hitter_tokens": lambda sf: __import__(
+            "jimmy_ray.functions.sketches", fromlist=["x"]
+        ).heavy_hitter_tokens(sf),
         # multimodal plumbing (stubbed codec, real Ray-side pipeline)
         "multimodal_features": multimodal.media_features,
         # note-pipeline stages (M12-M22, F1/F2, J1)

@@ -123,6 +123,34 @@ def shingle_batch(batch: pa.Table) -> pa.Table:
 N_PAIR_BUCKETS = 256
 
 
+def pair_grouped(ds, value_col: str, how: str, out_col: str, n_buckets: int = 64):
+    """Aggregate per (a, b) pair via coarse hash-bucket + vectorized pandas
+    groupby inside each bucket.  Ray's groupby().aggregate() degrades
+    badly with many distinct groups over many small blocks (measured:
+    192 s vs 0.4 s for 160k pairs / 256 blocks), so high-cardinality pair
+    aggregation buckets first and aggregates locally — same exact result,
+    one coarse shuffle."""
+    import numpy as np
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__pb"] = (
+            (batch["a"].to_numpy() * 1_000_003 + batch["b"].to_numpy())
+            % n_buckets
+        ).astype(np.int64)
+        return batch
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)[value_col].agg(how)
+        out.columns = ["a", "b", out_col]
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(local, batch_format="pandas")
+    )
+
+
 def _add_shingle_bucket(batch: pd.DataFrame) -> pd.DataFrame:
     batch["bucket"] = batch["s"].map(lambda s: fnv64(s) % N_PAIR_BUCKETS).astype(np.int64)
     return batch
@@ -159,13 +187,12 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.8):
     # pandas merge, then global sum of partial intersection counts.  Each
     # shingle lives in exactly one bucket, so partial counts add exactly.
     # (256 coarse groups instead of one map_groups call per shingle.)
-    inter = (
+    partial_inter = (
         sh.map_batches(_add_shingle_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(_bucket_intersections, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Sum("i_part", alias_name="i"))
     )
+    inter = pair_grouped(partial_inter, "i_part", "sum", "i")
 
     def jaccard_filter(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
@@ -281,12 +308,19 @@ def minhash_dedup_pairs(sf_dir: str, tau: float = 0.8):
         out.columns = ["a", "b"]
         return out
 
-    cand = (
+    raw_pairs = (
         bands.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
+    )
+
+    def tag_one(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["one"] = 1
+        return batch
+
+    cand = pair_grouped(
+        raw_pairs.map_batches(tag_one, batch_format="pandas"),
+        "one", "sum", "n_bands",
     )
 
     # broadcast shingle sets for exact verification (fixture-scale only)
@@ -402,7 +436,5 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3):
     )
 
     # a pair can match in several segments/buckets -> distinct (hamming is
-    # identical wherever the pair appears, so Min is a pure dedup)
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # identical wherever the pair appears, so min is a pure dedup)
+    return pair_grouped(pairs, "hamming", "min", "hamming")

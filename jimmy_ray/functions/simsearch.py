@@ -169,6 +169,82 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 10):
     return cands.groupby("qid").map_groups(topk, batch_format="pandas")
 
 
+# --- IVF (coarse-quantizer) variant ----------------------------------------
+
+N_CENTROIDS = 16
+KMEANS_ITERS = 10
+NPROBE = 4
+
+
+def train_centroids(vecs: np.ndarray, k: int = N_CENTROIDS,
+                    iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Deterministic Lloyd k-means on normalized vectors (init = first k
+    distinct rows in vec order; no RNG, so every run/cluster size trains
+    the identical quantizer)."""
+    centroids = vecs[:k].copy()
+    for _ in range(iters):
+        sims = vecs @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    centroids[c] = mean / norm
+    return centroids
+
+
+def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
+                 nprobe: int = NPROBE):
+    """IVF ANN: train a coarse quantizer once (driver-side, sample =
+    whole table at fixture scale; a random_sample at 10^12), assign each
+    vector to its nearest centroid, and scan only the queries' nprobe
+    nearest centroid buckets — the classic IVF scale path next to the
+    LSH variant.  Approximate: recall vs ann_topk asserted in tests."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    all_vecs = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    all_vecs /= np.linalg.norm(all_vecs, axis=1, keepdims=True)
+    centroids = train_centroids(all_vecs)
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qprobe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_buckets = set(int(b) for row in qprobe for b in row)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        assign = np.argmax(nv @ centroids.T, axis=1)
+        keep = np.array([int(a) in probe_buckets for a in assign])
+        return batch.filter(pa.array(keep))
+
+    cands = ds.map_batches(bucket_filter, batch_format="pyarrow",
+                           batch_size=4096).map_batches(
+        AnnTopkStage,
+        fn_constructor_kwargs={"qids": qids, "qmat": qmat, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "rank"]]
+
+    return cands.groupby("qid").map_groups(topk, batch_format="pandas")
+
+
 # --- embedding-cosine near-dup ---------------------------------------------
 
 def replicated_embeddings_batch(batch: pa.Table) -> pa.Table:

@@ -40,8 +40,9 @@ def test_every_query_has_oracle_or_is_documented():
     # rows-only check); keep the list explicit so it stays intentional.
     allowed_without_oracle = {
         "hexcell_index", "s2_cells", "knn_hex_pruned", "minhash_dedup",
-        "simhash_dedup", "embedding_ann_lsh", "embedding_dup_pairs",
-        "fuzzy_title_match",
+        "simhash_dedup", "embedding_ann_lsh", "embedding_ann_ivf",
+        "embedding_dup_pairs", "fuzzy_title_match",
+        "approx_distinct_tokens", "heavy_hitter_tokens",
     }
     assert missing <= allowed_without_oracle, f"queries missing oracles: {missing}"
 

@@ -1,0 +1,104 @@
+"""Sketches (HLL, Misra-Gries) + IVF ANN: accuracy vs exact references."""
+
+import numpy as np
+import pytest
+
+from jimmy_ray.functions import sketches
+
+
+def test_hll_accuracy():
+    for n in (100, 5_000, 50_000):
+        tokens = [f"tok{i}" for i in range(n)]
+        est = sketches.hll_estimate(sketches.hll_from_tokens(tokens))
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_merge_is_union():
+    a = [f"a{i}" for i in range(2000)]
+    b = [f"b{i}" for i in range(3000)]
+    overlap = [f"a{i}" for i in range(1000)]  # subset of a
+    sa = sketches.hll_from_tokens(a)
+    sb = sketches.hll_from_tokens(b + overlap)
+    merged = sketches.hll_merge([sa, sb])
+    est = sketches.hll_estimate(merged)
+    assert abs(est - 5000) / 5000 < 0.05
+    # merge is idempotent and commutative
+    assert (sketches.hll_merge([sb, sa]) == merged).all()
+    assert (sketches.hll_merge([merged, sa]) == merged).all()
+
+
+def test_hll_duplicates_dont_inflate():
+    tokens = ["same"] * 10_000 + [f"t{i}" for i in range(100)]
+    est = sketches.hll_estimate(sketches.hll_from_tokens(tokens))
+    assert abs(est - 101) / 101 < 0.2
+
+
+def test_misra_gries_guarantee():
+    # frequency > n/k items must survive summarize+merge
+    rng = np.random.default_rng(1)
+    heavy = ["big"] * 500 + ["big2"] * 300
+    light = [f"x{i}" for i in rng.integers(0, 400, 700)]
+    tokens = heavy + light
+    rng.shuffle(tokens)
+    k = 10
+    halves = [tokens[:750], tokens[750:]]
+    merged = sketches.mg_merge(
+        [sketches.mg_summarize(h, k) for h in halves], k
+    )
+    assert "big" in merged and "big2" in merged
+
+
+def test_sketch_queries_run(ray_session):
+    df = sketches.approx_distinct_tokens("/root/testdata/sf0.001")
+    # exact distinct tokens in the corpus (small): compare
+    import re
+
+    import pyarrow.parquet as pq
+
+    from jimmy_ray.functions.textstats import TOKEN_RE
+
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    exact = len({t for x in texts for t in re.findall(TOKEN_RE, x.lower())})
+    est = int(df["approx_distinct_tokens"].iloc[0])
+    assert abs(est - exact) / exact < 0.1, (est, exact)
+
+    # the corpus vocabulary (~30 tokens) is near-uniform, so no token has
+    # freq > n/16 and MG at k=16 may keep any subset; with k > |vocab| the
+    # summary is exact and the true top token is guaranteed present.
+    hh = sketches.heavy_hitter_tokens("/root/testdata/sf0.001", k=64)
+    assert len(hh) > 0
+    from collections import Counter
+
+    counts = Counter(t for x in texts for t in re.findall(TOKEN_RE, x.lower()))
+    top_true = counts.most_common(1)[0][0]
+    assert top_true in set(hh["token"])
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from jimmy_ray.functions import simsearch
+
+    exact = simsearch.ann_topk("/root/testdata/sf0.001").to_pandas()
+    ivf = simsearch.ann_topk_ivf("/root/testdata/sf0.001").to_pandas()
+    es = exact.groupby("qid")["vec_id"].apply(set)
+    vs = ivf.groupby("qid")["vec_id"].apply(set)
+    recalls = [len(es[q] & vs.get(q, set())) / len(es[q]) for q in es.index]
+    # nprobe=4/16 centroids on weakly-clustered data: meaningful recall,
+    # scanning only ~nprobe/ncentroids of the table
+    assert np.mean(recalls) > 0.5
+    # rank-1 self hit must always survive (query's own bucket is probed)
+    r1 = ivf[ivf["rank"] == 1]
+    assert (r1["vec_id"].to_numpy() == r1["qid"].to_numpy()).all()
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((500, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    c1 = sketches_train = __import__(
+        "jimmy_ray.functions.simsearch", fromlist=["x"]
+    ).train_centroids(vecs)
+    c2 = __import__(
+        "jimmy_ray.functions.simsearch", fromlist=["x"]
+    ).train_centroids(vecs)
+    np.testing.assert_array_equal(c1, c2)
