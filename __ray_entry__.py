@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_apply": notes.template_apply,
         "filter_tags": notes.filter_tags,
         "link_resolution": notes.link_resolution,
+        "notebook_tree": notes.notebook_tree,
         "word_count": textstats.word_count,
         "label_centroids": textstats.label_centroids,
         "event_ts_ms": notes.event_ts_ms,
@@ -348,6 +349,13 @@ def oracle_sql() -> dict[str, str]:
             f"{_PAGES_CTE}\n"
             "SELECT url, 'tag' || CAST(doc_id AS VARCHAR) AS tag\n"
             "FROM pages WHERE v = 8"
+        ),
+        "notebook_tree": (
+            f"{_PAGES_CTE}\n"
+            "SELECT source || '/nb' || CAST(doc_id % 10 AS VARCHAR) AS path_str,\n"
+            "       CAST(COUNT(*) AS BIGINT) AS n_notes\n"
+            f"FROM pages JOIN documents USING (doc_id)\n"
+            f"WHERE ({_TITLE_SQL}) != '' GROUP BY 1"
         ),
         "word_count": textstats.sql_word_count(),
         "label_centroids": textstats.sql_label_centroids(),

@@ -275,6 +275,43 @@ def link_resolution(sf_dir: str):
     return pages.map_batches(resolve, batch_format="pyarrow")
 
 
+# --- notebook tree (SURVEY §1.2 path column, J2, F5, §2.7) -----------------
+
+def notebook_tree(sf_dir: str):
+    """Flattened notebook-tree rollup: every note carries an ancestry path
+    (trees don't shard — a path column groups identically, SURVEY §1.2);
+    skip rules drop untitled notes (F5 analogue of trash/deleted skips,
+    formats/synology_note_station.py:123-125); empty notebooks disappear
+    from the rollup exactly like remove_empty_notebooks
+    (converter.py:135-158).  Output: (path_str, n_notes)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    pages = _extracted_pages(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        titles = batch["title"].to_pylist()
+        counts: dict[str, int] = {}
+        for url, title in zip(urls, titles):
+            if not title:  # skip rule: untitled/trash notes
+                continue
+            parts = url.split("/")
+            source = parts[3]
+            doc_id = int(parts[4])
+            path = f"{source}/nb{doc_id % 10}"
+            counts[path] = counts.get(path, 0) + 1
+        return pa.table({"path_str": pa.array(list(counts), pa.string()),
+                         "p_n": pa.array(list(counts.values()), pa.int64())})
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("path_str")
+        .aggregate(Sum("p_n", alias_name="n_notes"))
+    )
+
+
 # --- event-time scalar stage (M23) -----------------------------------------
 
 def event_ts_ms(sf_dir: str):
