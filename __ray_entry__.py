@@ -75,8 +75,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).spatial_join_native(flagship.geo_points(sf)),
         # kNN (J9): bounded per-batch top-k + merge
         "knn": flagship.knn,
-        # tile aggregation (A4)
+        # tile aggregation (A4) + raster materialization
         "tile_counts": flagship.tile_counts,
+        "raster_tiles": lambda sf: __import__(
+            "jimmy_ray.stages.spatial", fromlist=["x"]
+        ).raster_tiles_exploded(flagship.geo_points(sf)),
         # genuine hex + S2 cell indexes (float projections: rows-only check)
         "hexcell_index": lambda sf: flagship.geo_points(sf).map_batches(
             __import__("jimmy_ray.stages.spatial", fromlist=["x"]).hex_s2_index_batch,
@@ -234,6 +237,14 @@ def oracle_sql() -> dict[str, str]:
             f"{_POINTS_CTE} SELECT "
             f"{geo_core.sql_tile_id('lat_e6', 'lon_e6', 10)} AS tile_z10, "
             f"CAST(COUNT(*) AS BIGINT) AS n_pages FROM pts GROUP BY 1"
+        ),
+        "raster_tiles": (
+            f"{_POINTS_CTE} SELECT "
+            f"{geo_core.sql_tile_id('lat_e6', 'lon_e6', 10)} AS tile_z10, "
+            + __import__("jimmy_ray.stages.spatial", fromlist=["x"])
+            .sql_raster_subcell("lat_e6", "lon_e6")
+            + " AS subcell, CAST(COUNT(*) AS BIGINT) AS n_points "
+            "FROM pts GROUP BY 1, 2"
         ),
         "q_lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "

@@ -426,6 +426,131 @@ def knn_hex_pruned(points_ds, qpoints: list[dict], ring_k: int = 2,
     return knn_finalize(cands, {q["qid"]: q["k"] for q in qpoints})
 
 
+# --- raster tiles (A4: raster <-> vector materialization) ------------------
+
+RASTER_N = 16  # subcells per tile axis -> 16x16 grid
+
+
+def raster_subcell(lat_e6, lon_e6, zoom: int = 10, n: int = RASTER_N):
+    """Exact integer subcell index within a tile: 0..n*n-1.
+
+    sub_x/sub_y are the fractional position inside the tile quantized to
+    n steps, computed purely in int64 (same floor-division trick as the
+    tile itself), so numpy and DuckDB agree bit-for-bit."""
+    z = np.int64(1) << zoom
+    gx = (np.asarray(lon_e6, dtype=np.int64) - core.LON_MIN_E6) * (z * n) // core.LON_SPAN_E6
+    gy = (np.int64(90_000_000) - np.asarray(lat_e6, dtype=np.int64)) * (z * n) // core.LAT_SPAN_E6
+    gx = np.clip(gx, 0, z * n - 1)
+    gy = np.clip(gy, 0, z * n - 1)
+    return (gy % n) * n + (gx % n)
+
+
+def sql_raster_subcell(lat_col: str, lon_col: str, zoom: int = 10,
+                       n: int = RASTER_N) -> str:
+    zn = (1 << zoom) * n
+    gx = (f"least(greatest((({lon_col}) - ({core.LON_MIN_E6})) * {zn} "
+          f"// {core.LON_SPAN_E6}, 0), {zn - 1})")
+    gy = (f"least(greatest((90000000 - ({lat_col})) * {zn} "
+          f"// {core.LAT_SPAN_E6}, 0), {zn - 1})")
+    return f"((({gy}) % {n}) * {n} + (({gx}) % {n}))"
+
+
+def rasterize_tiles(points_ds, zoom: int = 10):
+    """Vector -> raster: per-tile 16x16 count grid (one row per tile,
+    grid as a flat list<int64>[256]).  Partial per-batch histograms sum
+    exactly, so this is a combiner-shaped groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+        lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+        tiles = core.tile_id(lat, lon, zoom)
+        sub = raster_subcell(lat, lon, zoom)
+        key = tiles * (RASTER_N * RASTER_N) + sub
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "tile_sub": pa.array(uniq, pa.int64()),
+            "p_n": pa.array(counts, pa.int64()),
+        })
+
+    exploded = (
+        points_ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby("tile_sub")
+        .aggregate(Sum("p_n", alias_name="n_points"))
+    )
+
+    def to_grid(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        tile = int(group["tile_id"].iloc[0])
+        grid = _np.zeros(RASTER_N * RASTER_N, dtype=np.int64)
+        subs = (group["tile_sub"] % (RASTER_N * RASTER_N)).to_numpy()
+        grid[subs] = group["n_points"].to_numpy()
+        return pd.DataFrame({"tile_id": [tile], "grid": [grid.tolist()],
+                             "n_points": [int(grid.sum())]})
+
+    def add_tile(batch: pa.Table) -> pa.Table:
+        keys = batch["tile_sub"].to_numpy()
+        return batch.append_column(
+            "tile_id", pa.array(keys // (RASTER_N * RASTER_N), pa.int64())
+        )
+
+    return (
+        exploded.map_batches(add_tile, batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(to_grid, batch_format="pandas")
+    )
+
+
+def raster_to_vector(raster_ds):
+    """Raster -> vector: explode grids back to (tile_id, subcell,
+    n_points) rows — the inverse materialization."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        tiles, subs, counts = [], [], []
+        for tile, grid in zip(batch["tile_id"], batch["grid"]):
+            g = np.asarray(grid)
+            nz = np.nonzero(g)[0]
+            tiles.extend([tile] * nz.size)
+            subs.extend(nz.tolist())
+            counts.extend(g[nz].tolist())
+        return pd.DataFrame({"tile_z10": tiles, "subcell": subs,
+                             "n_points": counts})
+
+    return raster_ds.map_batches(explode, batch_format="pandas")
+
+
+def raster_tiles_exploded(points_ds, zoom: int = 10):
+    """(tile_z10, subcell, n_points) — the oracle-checkable raster form."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat_e6"].to_numpy(zero_copy_only=False)
+        lon = batch["lon_e6"].to_numpy(zero_copy_only=False)
+        tiles = core.tile_id(lat, lon, zoom)
+        sub = raster_subcell(lat, lon, zoom)
+        key = tiles * (RASTER_N * RASTER_N) + sub
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({"tile_sub": pa.array(uniq, pa.int64()),
+                         "p_n": pa.array(counts, pa.int64())})
+
+    agg = (
+        points_ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby("tile_sub")
+        .aggregate(Sum("p_n", alias_name="n_points"))
+    )
+
+    def split_key(batch: pa.Table) -> pa.Table:
+        keys = batch["tile_sub"].to_numpy()
+        return pa.table({
+            "tile_z10": pa.array(keys // (RASTER_N * RASTER_N), pa.int64()),
+            "subcell": pa.array(keys % (RASTER_N * RASTER_N), pa.int64()),
+            "n_points": batch["n_points"],
+        })
+
+    return agg.map_batches(split_key, batch_format="pyarrow")
+
+
 # --- kNN -------------------------------------------------------------------
 
 class KNNCandidateStage:

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the scalar/geo kernels, plus
+row-level fault-isolation checks."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jimmy_ray.geo import core, polygon as poly_mod
+from jimmy_ray.md import links as md_links
+from jimmy_ray.md import text as md_text
+from jimmy_ray.scalars import paths as paths_mod
+from jimmy_ray.scalars import tagnorm
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_safe_path_always_safe(name):
+    out = paths_mod.safe_path(name, key="k")
+    assert out  # never empty
+    assert len(out) <= 50 or out.startswith("unnamed_")
+    assert "/" not in out and "\x00" not in out
+    assert out not in paths_mod._FORBIDDEN_NAMES
+    assert out[-1] not in (" ", ".")
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_tag_normalizers_total(tag):
+    futo = tagnorm.normalize_tag_for_futo(tag)
+    assert len(futo) <= 50
+    if futo:
+        assert futo[0].isascii() and futo[0].isalpha()
+    obs = tagnorm.normalize_tag_for_obsidian(tag)
+    assert not obs.isdigit()
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_link_extraction_never_crashes(text):
+    links = md_links.get_markdown_links(text)
+    for link in links:
+        str(link)  # re-rendering is total
+    md_links.remove_void_links(text)
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_header_slug_charset(text):
+    slug = md_text.to_markdown_header_id(text)
+    assert all(c.isalnum() or c in "_-." for c in slug)
+
+
+@given(st.integers(-90_000_000, 90_000_000),
+       st.integers(-180_000_000, 179_999_999))
+@settings(max_examples=300, deadline=None)
+def test_geocell_nesting_property(lat, lon):
+    lat_a, lon_a = np.int64(lat), np.int64(lon)
+    c7 = core.geocell_id(lat_a, lon_a, 7)
+    c8 = core.geocell_id(lat_a, lon_a, 8)
+    c9 = core.geocell_id(lat_a, lon_a, 9)
+    assert int(core.geocell_parent(c9)) == int(c8)
+    assert int(core.geocell_parent(c8)) == int(c7)
+
+
+@given(st.integers(-90_000_000, 90_000_000),
+       st.integers(-180_000_000, 179_999_999))
+@settings(max_examples=200, deadline=None)
+def test_pip_scalar_vector_agree(lat, lon):
+    for p in poly_mod.fixture_polygons()[:3]:
+        vec = bool(poly_mod.point_in_polygon(
+            np.array([lon], dtype=np.int64), np.array([lat], dtype=np.int64),
+            p["verts"])[0])
+        assert vec == poly_mod.point_in_polygon_scalar(lon, lat, p["verts"])
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_html_extractor_total_on_garbage(data):
+    from jimmy_ray.html.extract import html_to_markdown
+
+    html_to_markdown(data)  # must not raise on arbitrary bytes
+
+
+def test_extraction_dead_letter_rows():
+    """Batches with pathological html yield error rows, not crashes
+    (SURVEY §2.9 row-level fault isolation)."""
+    from jimmy_ray.stages.extract import extract_markdown_batch
+
+    batch = pa.table({
+        "url": ["u1", "u2"],
+        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        "lang": ["en", "en"],
+        "html": [b"<html><body><p>ok</p></body></html>", b"\xff\xfe\x00garbage<<>>"],
+        "text": ["", ""],
+    })
+    out = extract_markdown_batch(batch)
+    assert out["text"].to_pylist()[0] == "ok"
+    # garbage decodes with replacement chars; either clean or dead-lettered
+    errs = out["error"].to_pylist()
+    assert errs[0] is None
