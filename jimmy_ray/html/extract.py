@@ -129,9 +129,35 @@ def _checkbox_md(node: _Node) -> str:
     return "[x]" if "checked" in node.attrs else "[ ]"
 
 
+def _merge_consecutive(children: list) -> list:
+    """Merge directly adjacent same-marker inline nodes
+    (merge_consecutive_formatting, html_filter.py:142): <b>a</b><b>b</b>
+    must render **ab**, not the broken **a****b**."""
+    out: list = []
+    for child in children:
+        if (
+            out
+            and isinstance(child, _Node)
+            and isinstance(out[-1], _Node)
+            and child.tag in _INLINE_MARKERS
+            and _INLINE_MARKERS.get(out[-1].tag) == _INLINE_MARKERS[child.tag]
+        ):
+            out[-1] = _merged_node(out[-1], child)
+        else:
+            out.append(child)
+    return out
+
+
+def _merged_node(a: "_Node", b: "_Node") -> "_Node":
+    node = _Node(a.tag, a.attrs)
+    node.children = list(a.children) + list(b.children)
+    return node
+
+
 def _render_inline(children: list, strip_bold: bool = False) -> str:
     """Render inline content; collapses whitespace runs (HTML semantics)."""
     parts: list[str] = []
+    children = _merge_consecutive(children)
     for child in children:
         if isinstance(child, str):
             parts.append(_collapse_ws(child))

@@ -77,6 +77,11 @@ CASES = [
     ('<p><span style="x">s</span>pan</p>', "span"),
     # misnested tolerance
     ("<p><b>x</p>", "**x**"),
+    # merge_consecutive_formatting (html_filter.py:142)
+    ("<p><b>a</b><b>b</b></p>", "**ab**"),
+    ("<p><strong>a</strong><b>b</b></p>", "**ab**"),
+    ("<p><em>a</em><i>b</i> <b>c</b></p>", "*ab* **c**"),
+    ("<p><b>a</b> <b>b</b></p>", "**a** **b**"),  # separated: no merge
 ]
 
 
