@@ -38,6 +38,12 @@ from html.parser import HTMLParser
 
 _WS_RE = re.compile(r"\s+")
 
+
+def _slugify(fragment: str) -> str:
+    from jimmy_ray.md.text import to_markdown_header_id
+
+    return to_markdown_header_id(fragment)
+
 _VOID_TAGS = frozenset(
     {"img", "input", "br", "hr", "meta", "link", "area", "base", "col", "embed",
      "source", "track", "wbr"}
@@ -176,6 +182,10 @@ def _render_inline(children: list, strip_bold: bool = False) -> str:
             if not href:
                 parts.append(text)
             else:
+                if href.startswith("#"):
+                    # internal heading anchor -> header-id slug
+                    # (link_internal_headings, html_filter.py:101)
+                    href = "#" + _slugify(href[1:])
                 title_md = f' "{title}"' if title else ""
                 parts.append(f"[{text}]({href}{title_md})")
         elif tag == "img":

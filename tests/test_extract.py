@@ -82,6 +82,9 @@ CASES = [
     ("<p><strong>a</strong><b>b</b></p>", "**ab**"),
     ("<p><em>a</em><i>b</i> <b>c</b></p>", "*ab* **c**"),
     ("<p><b>a</b> <b>b</b></p>", "**a** **b**"),  # separated: no merge
+    # link_internal_headings (html_filter.py:101): anchors get slugged
+    ('<p><a href="#My Heading!">go</a></p>', "[go](#my-heading)"),
+    ('<p><a href="https://x.io#Frag Y">go</a></p>', "[go](https://x.io#Frag Y)"),
 ]
 
 
