@@ -71,6 +71,40 @@ def tile_counts(sf_dir: str, zoom: int = 10):
     )
 
 
+def run_flagship(sf_dir: str, out_dir: str, n_partitions: int = 16,
+                 resume: bool = True) -> dict:
+    """The full §3.4 lifecycle in one call: pages → extract → geocode →
+    cell/tile index → spatial join → resumable partitioned sinks with
+    per-partition lineage, plus the A1 counters row.
+
+    Writes three products under ``out_dir`` (each independently
+    resumable via its manifest):
+      extracted/   (url, title, text, error)
+      tiles/       (url, lat/lon, cells, tiles)
+      join/        (url, polygon_id)
+    Returns the combined run stats (counters + per-sink write stats).
+    """
+    from jimmy_ray.state import manifest
+
+    stats: dict = {}
+    stats["extracted"] = manifest.write_partitioned(
+        extracted(sf_dir), f"{out_dir}/extracted",
+        n_partitions=n_partitions, resume=resume,
+    )
+    stats["tiles"] = manifest.write_partitioned(
+        tile_assignments(sf_dir), f"{out_dir}/tiles",
+        n_partitions=n_partitions, resume=resume,
+    )
+    stats["join"] = manifest.write_partitioned(
+        spatial_join(sf_dir), f"{out_dir}/join",
+        n_partitions=n_partitions, resume=resume,
+    )
+    from jimmy_ray.stages.fuzzy import import_stats
+
+    stats["counters"] = import_stats(sf_dir).iloc[0].to_dict()
+    return stats
+
+
 def flagship_result(sf_dir: str):
     """entry() result: join counts per polygon — exercises extract →
     geocode → cells → broadcast join → aggregate end-to-end."""

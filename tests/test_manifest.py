@@ -65,3 +65,28 @@ def test_partial_write_is_invisible(ray_session, tmp_path):
     assert manifest.verify_manifest(out) == []
     assert len(manifest.completed_partitions(out)) == 4
     manifest.read_partitioned(out).to_pandas()  # still reads cleanly
+
+
+def test_run_flagship_end_to_end_resumable(ray_session, tmp_path):
+    import os
+    import shutil
+
+    from jimmy_ray.pipelines import flagship
+    from jimmy_ray.state import manifest as mf
+
+    out = str(tmp_path / "flagship")
+    stats = flagship.run_flagship("/root/testdata/sf0.001", out, n_partitions=4)
+    assert stats["extracted"]["partitions_written"] == 4
+    assert stats["join"]["rows_written"] > 0
+    assert stats["counters"]["n_pages"] == 4500
+    assert stats["counters"]["n_errors"] == 0
+    for product in ("extracted", "tiles", "join"):
+        assert mf.verify_manifest(f"{out}/{product}") == []
+
+    # kill one partition of one product; rerun resumes just that work
+    shutil.rmtree(os.path.join(out, "join", "part=00001"))
+    os.remove(os.path.join(out, "join", "_manifest", "00001.json"))
+    stats2 = flagship.run_flagship("/root/testdata/sf0.001", out, n_partitions=4)
+    assert stats2["extracted"]["partitions_written"] == 0
+    assert stats2["join"]["partitions_written"] == 1
+    assert mf.verify_manifest(f"{out}/join") == []
