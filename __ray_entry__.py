@@ -249,21 +249,23 @@ def oracle_sql() -> dict[str, str]:
         "q_lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
             "SUM(l_quantity) AS sum_qty, "
-            "SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)"
+            " AS sum_price_cents, "
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "q_orders_join": (
             "SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders, "
-            "SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS total_cents "
+            "CAST(SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+            " AS total_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
         ),
         "q_lineitem_orders_join": (
             "SELECT o.o_orderpriority, "
-            "SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) "
-            "AS BIGINT)) AS revenue_cents, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents, "
             "CAST(COUNT(*) AS BIGINT) AS n_items "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority"

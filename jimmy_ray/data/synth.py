@@ -182,7 +182,7 @@ def render_pages_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     paths stay vectorized — this runs once to build test input.
 
     ``repeat > 1`` expands the corpus for bench runs (distinct urls and
-    distinct geo per replica via ``key = (doc_id*repeat + rep)*8 + v``);
+    distinct geo per replica via ``key = (doc_id*repeat + rep)*N_VARIANTS + v``);
     the oracle-checked paths always use repeat=1, whose keys match the
     SQL mirrors exactly.
     """

@@ -141,6 +141,9 @@ def import_stats(sf_dir: str):
         Sum("p_tags", alias_name="n_tags"),
         Sum("p_errors", alias_name="n_errors"),
     )
-    import pandas as pd
-
-    return pd.DataFrame([row]).astype("int64")
+    # Return an Arrow table (same shape as every other query) — the driver's
+    # hash path is exercised on Dataset/Table results; a lone DataFrame was
+    # an untested shape in round 1 (ADVICE.md).
+    return pa.table(
+        {k: pa.array([int(v)], pa.int64()) for k, v in row.items()}
+    )

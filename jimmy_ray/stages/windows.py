@@ -57,7 +57,8 @@ def sql_tumbling_window(window_ms: int = TUMBLE_MS) -> str:
     return (
         "SELECT user_id, "
         f"(epoch_ms(ts) // {window_ms}) * {window_ms} AS window_ms, "
-        "SUM(CAST(round(value * 1000.0) AS BIGINT)) AS sum_value_milli, "
+        "CAST(SUM(CAST(round(value * 1000.0) AS BIGINT)) AS BIGINT)"
+        " AS sum_value_milli, "
         "CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events GROUP BY 1, 2"
     )

@@ -47,13 +47,15 @@ def compare(name: str, ray_result, sql: str, con) -> None:
     for col in got.columns:
         g = got[col]
         w = want[col]
-        if g.dtype.kind == "f" or w.dtype.kind == "f":
-            pd.testing.assert_series_equal(
-                g.astype(float), w.astype(float), check_names=False, check_exact=True,
-                obj=f"{name}.{col}",
-            )
-        else:
-            pd.testing.assert_series_equal(
-                g.astype(w.dtype) if g.dtype != w.dtype else g, w,
-                check_names=False, obj=f"{name}.{col}",
-            )
+        # Strict dtype equality: the driver's hash check is sensitive to the
+        # physical type (e.g. DuckDB SUM(BIGINT)→HUGEINT surfacing as float64
+        # vs Ray int64 failed 3 queries in round 1 while the old coercing
+        # compare passed them).  Only normalize storage-identical spellings.
+        gk, wk = g.dtype.kind, w.dtype.kind
+        assert (gk, g.dtype.itemsize) == (wk, w.dtype.itemsize) or (
+            gk == wk == "O"
+        ), f"{name}.{col}: dtype {g.dtype} != oracle dtype {w.dtype}"
+        pd.testing.assert_series_equal(
+            g, w, check_names=False, check_exact=True, check_dtype=False,
+            obj=f"{name}.{col}",
+        )
