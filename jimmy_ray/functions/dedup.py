@@ -274,16 +274,18 @@ def minhash_band_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def minhash_dedup_pairs(sf_dir: str, tau: float = 0.8):
+def minhash_dedup_pairs(sf_dir: str, tau: float = 0.8,
+                        num_partitions: int = 16):
     """MinHash-LSH candidates → exact Jaccard verify → (a, b, jaccard).
 
-    Candidate generation is the scale path (bands bound the pair blowup);
-    verification here broadcasts the per-doc shingle sets (small corpus).
-    At 10^12 docs verification becomes a repartition-by-pair join instead
-    — documented, not needed at fixture scale.
+    Both halves are scale-shaped: candidate generation bounds the pair
+    blowup with bands, and verification ships each doc's shingle rows to
+    its candidate pairs via a hash join on doc_id (shingles ⋈ pair
+    membership) followed by a per-pair-bucket vectorized count — no
+    driver- or worker-side materialization of the corpus.  Peak state
+    anywhere is O(one pair bucket), not O(n docs).
     """
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     corpus = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -323,31 +325,70 @@ def minhash_dedup_pairs(sf_dir: str, tau: float = 0.8):
         "one", "sum", "n_bands",
     )
 
-    # broadcast shingle sets for exact verification (fixture-scale only)
-    sets: dict[int, set] = {}
-    for b in corpus.iter_batches(batch_format="pyarrow"):
-        for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            sets[doc_id] = set(shingles(text))
-
-    def verify(batch: pa.Table) -> pa.Table:
+    # Repartition-by-pair verify: explode each candidate pair into two
+    # membership rows (doc_id, a, b), hash-join the shingle rows onto them
+    # (each doc's shingles are shipped only to the pairs that cite it),
+    # then count intersections per pair inside coarse buckets.
+    def explode_members(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
-        out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, b):
-            sx, sy = sets[int(x)], sets[int(y)]
-            if not sx or not sy:
-                continue
-            inter = len(sx & sy)
-            j = inter / (len(sx) + len(sy) - inter)
-            if j >= tau:
-                out_a.append(int(x))
-                out_b.append(int(y))
-                out_j.append(j)
-        return pa.table({"a": pa.array(out_a, pa.int64()),
-                         "b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+        })
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    members = cand.map_batches(explode_members, batch_format="pyarrow")
+    sh = corpus.map_batches(shingle_batch, batch_format="pyarrow")
+    joined = sh.join(members, join_type="inner",
+                     num_partitions=num_partitions, on=("doc_id",))
+
+    def add_pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__pb"] = (
+            (batch["a"].to_numpy() * 1_000_003 + batch["b"].to_numpy())
+            % N_PAIR_BUCKETS
+        ).astype(np.int64)
+        return batch
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
+        if g.empty:
+            return empty
+        side_a = (g["doc_id"] == g["a"]).to_numpy()
+        sizes = (
+            pd.DataFrame({"a": g["a"], "b": g["b"], "sa": side_a})
+            .groupby(["a", "b"])["sa"]
+            .agg(na="sum", total="size")
+            .reset_index()
+        )
+        # a shingle string appears once per side, so group size 2 on
+        # (a, b, s) means it is in both docs' sets
+        dup = g.groupby(["a", "b", "s"], as_index=False).size()
+        inter = (
+            dup[dup["size"] == 2].groupby(["a", "b"], as_index=False).size()
+            .rename(columns={"size": "i"})
+        )
+        m = sizes.merge(inter, on=["a", "b"], how="left").fillna({"i": 0})
+        na = m["na"].to_numpy(dtype=np.float64)
+        nb = (m["total"] - m["na"]).to_numpy(dtype=np.float64)
+        i = m["i"].to_numpy(dtype=np.float64)
+        j = i / (na + nb - i)
+        keep = j >= tau
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "a": m["a"].to_numpy()[keep].astype(np.int64),
+            "b": m["b"].to_numpy()[keep].astype(np.int64),
+            "jaccard": j[keep],
+        })
+
+    return (
+        joined.map_batches(add_pair_bucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
 
 
 # --- SimHash ---------------------------------------------------------------

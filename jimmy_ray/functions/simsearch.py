@@ -25,12 +25,30 @@ REPLICA_OFFSET = 1_000_000
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
+    """First n_queries vectors by vec_id as the query matrix.
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vec_ids = np.asarray(t["vec_id"].to_pylist())
-    order = np.argsort(vec_ids)[:n_queries]
-    q = np.array([t["embedding"].to_pylist()[i] for i in order], dtype=np.float64)
+    Distributed bottom-k: each batch keeps only its n smallest vec_ids, so
+    the driver materializes O(blocks × n) candidate rows, never the table."""
+    import ray.data as rd
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        keep = np.argsort(ids, kind="stable")[:n_queries]
+        return batch.take(keep)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    batches = list(
+        ds.map_batches(bottomk, batch_format="pyarrow", batch_size=8192)
+        .iter_batches(batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in batches]
+    )
+    vec_ids = t["vec_id"].to_numpy()
+    order = np.argsort(vec_ids, kind="stable")[:n_queries]
+    q = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return vec_ids[order], q
 
@@ -195,22 +213,53 @@ def train_centroids(vecs: np.ndarray, k: int = N_CENTROIDS,
     return centroids
 
 
-def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
-                 nprobe: int = NPROBE):
-    """IVF ANN: train a coarse quantizer once (driver-side, sample =
-    whole table at fixture scale; a random_sample at 10^12), assign each
-    vector to its nearest centroid, and scan only the queries' nprobe
-    nearest centroid buckets — the classic IVF scale path next to the
-    LSH variant.  Approximate: recall vs ann_topk asserted in tests."""
-    import pyarrow.parquet as pq
+TRAIN_SAMPLE_TARGET = 4096
+_SAMPLE_MOD = 1 << 32
 
+
+def _training_sample(sf_dir: str) -> np.ndarray:
+    """Bounded deterministic quantizer-training sample: keep rows whose
+    hashed vec_id falls under TRAIN_SAMPLE_TARGET/n — a distributed
+    map-side filter, so the driver materializes O(sample) vectors and the
+    sample is identical at any partitioning/cluster size (Knuth
+    multiplicative hash, no RNG)."""
     import ray.data as rd
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    all_vecs = np.array(full["embedding"].to_pylist(), dtype=np.float64)
-    all_vecs /= np.linalg.norm(all_vecs, axis=1, keepdims=True)
-    centroids = train_centroids(all_vecs)
+    n = ds.count()  # parquet metadata count — no scan
+    thresh = min(_SAMPLE_MOD, (TRAIN_SAMPLE_TARGET * _SAMPLE_MOD) // max(n, 1))
+
+    def samp(batch: pa.Table) -> pa.Table:
+        h = (batch["vec_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(_SAMPLE_MOD)
+        return batch.take(np.nonzero(h < thresh)[0])
+
+    rows = list(
+        ds.map_batches(samp, batch_format="pyarrow", batch_size=8192)
+        .iter_batches(batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in rows]
+    )
+    order = np.argsort(t["vec_id"].to_numpy(), kind="stable")
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return vecs
+
+
+def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
+                 nprobe: int = NPROBE):
+    """IVF ANN: train a coarse quantizer once on a bounded deterministic
+    sample (O(TRAIN_SAMPLE_TARGET) driver state at any corpus size),
+    assign each vector to its nearest centroid, and scan only the
+    queries' nprobe nearest centroid buckets — the classic IVF scale
+    path next to the LSH variant.  Approximate: recall vs ann_topk
+    asserted in tests."""
+    import ray.data as rd
+
+    centroids = train_centroids(_training_sample(sf_dir))
 
     qids, qmat = _load_queries(sf_dir, n_queries)
     qprobe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
@@ -265,37 +314,72 @@ def replicated_embeddings_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+DUP_TABLES = 6
+DUP_PLANES = 8  # buckets per table = 2**DUP_PLANES
+
+
+def _dup_planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(777)
+    return rng.standard_normal((DUP_TABLES, DUP_PLANES, dim))
+
+
 def embedding_dup_pairs(sf_dir: str, tau: float = 0.95):
     """Cosine ≥ tau pairs over the replicated corpus: (a, b, sim).
 
-    Brute force per batch against the broadcast full matrix — fine while
-    one side fits in worker memory; the LSH bucket pre-filter above is
-    the scale path (bucket groupby, then in-bucket pairs)."""
-    import pyarrow.parquet as pq
-
+    LSH-bucketed pair generation: DUP_TABLES independent random-hyperplane
+    tables; each vector lands in one bucket per table, in-bucket all-pairs
+    cosine (exact, so no false positives), cross-table duplicates removed
+    by a pair-grouped max.  Near-identical vectors (θ→0) agree on all
+    DUP_PLANES planes of at least one table w.h.p. (miss ≈ (1−p^b)^T);
+    per-worker state is one bucket, never the corpus."""
     import ray.data as rd
 
-    base = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    all_tab = replicated_embeddings_batch(base)
-    all_ids = all_tab["vec_id"].to_numpy()
-    all_vecs = np.array(all_tab["embedding"].to_pylist(), dtype=np.float64)
-    all_vecs /= np.linalg.norm(all_vecs, axis=1, keepdims=True)
+    from jimmy_ray.functions.dedup import pair_grouped
 
-    ds = rd.from_arrow(all_tab)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(replicated_embeddings_batch, batch_format="pyarrow")
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
+    planes: np.ndarray | None = None
+
+    def bucket_explode(batch: pa.Table) -> pa.Table:
+        nonlocal planes
         vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = vecs @ all_vecs.T
-        rows, cols = np.nonzero((sims >= tau) & (ids[:, None] < all_ids[None, :]))
-        return pa.table(
-            {
-                "a": pa.array(ids[rows], pa.int64()),
-                "b": pa.array(all_ids[cols], pa.int64()),
-                "sim": pa.array(sims[rows, cols], pa.float64()),
-            }
-        )
+        if planes is None:
+            planes = _dup_planes(vecs.shape[1])
+        ids = batch["vec_id"].to_numpy()
+        out = []
+        for t in range(DUP_TABLES):
+            bits = (vecs @ planes[t].T) > 0
+            bucket = (bits.astype(np.int64)
+                      << np.arange(DUP_PLANES, dtype=np.int64)).sum(axis=1)
+            out.append(pa.table({
+                "tb": pa.array(t * (1 << DUP_PLANES) + bucket, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }))
+        return pa.concat_tables(out)
 
-    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+    buckets = ds.map_batches(bucket_explode, batch_format="pyarrow",
+                             batch_size=4096)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "sim": pd.Series([], dtype=np.float64)})
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        vecs = np.stack(g["embedding"].to_numpy())
+        sims = vecs @ vecs.T
+        rows, cols = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
+        if rows.size == 0:
+            return empty
+        return pd.DataFrame({"a": ids[rows], "b": ids[cols],
+                             "sim": sims[rows, cols]})
+
+    pairs = buckets.groupby("tb").map_groups(bucket_pairs,
+                                             batch_format="pandas")
+    # same pair found in several tables → one row (sim identical everywhere)
+    return pair_grouped(pairs, "sim", "max", "sim")

@@ -374,14 +374,20 @@ def _text_content(node: _Node) -> str:
 
 def html_to_markdown(html: bytes | str) -> str:
     """The extraction pure function: full HTML document → Markdown."""
+    return html_to_markdown_and_title(html)[0]
+
+
+def extract_title(html: bytes | str) -> str:
+    return html_to_markdown_and_title(html)[1]
+
+
+def html_to_markdown_and_title(html: bytes | str) -> tuple[str, str]:
+    """Single-parse extraction: one parse_dom serves both renders (DOM parse
+    dominated the flagship stage when run twice per document)."""
     root = parse_dom(html)
     body = _find(root, "body") or root
     out: list[str] = []
     _render_blocks(body.children, out)
-    return "\n\n".join(out).strip()
-
-
-def extract_title(html: bytes | str) -> str:
-    root = parse_dom(html)
     title = _find(root, "title")
-    return _text_content(title).strip() if title is not None else ""
+    title_text = _text_content(title).strip() if title is not None else ""
+    return "\n\n".join(out).strip(), title_text

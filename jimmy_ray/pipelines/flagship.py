@@ -101,7 +101,9 @@ def run_flagship(sf_dir: str, out_dir: str, n_partitions: int = 16,
     )
     from jimmy_ray.stages.fuzzy import import_stats
 
-    stats["counters"] = import_stats(sf_dir).iloc[0].to_dict()
+    stats["counters"] = {
+        k: v[0] for k, v in import_stats(sf_dir).to_pydict().items()
+    }
     return stats
 
 

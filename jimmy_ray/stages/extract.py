@@ -40,8 +40,9 @@ def extract_markdown_batch(batch: pa.Table) -> pa.Table:
     errors: list[str | None] = []
     for html in htmls:
         try:
-            texts.append(hx.html_to_markdown(html))
-            titles.append(hx.extract_title(html))
+            text, title = hx.html_to_markdown_and_title(html)
+            texts.append(text)
+            titles.append(title)
             errors.append(None)
         except Exception as exc:  # noqa: BLE001 - dead-letter semantics
             texts.append("")

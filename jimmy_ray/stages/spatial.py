@@ -222,11 +222,7 @@ def spatial_join_shuffle(points_ds, res: int = JOIN_RES,
             is_hot = hot_cell_arr[pos_c] == cells
             if is_hot.any():
                 # deterministic url hash (stable across processes)
-                uhash = np.array(
-                    [_stable_hash(u) for u in
-                     pa.Table.from_arrays([batch["url"]], ["u"])["u"].to_pylist()],
-                    dtype=np.uint64,
-                )
+                uhash = _stable_hash_vec(batch["url"])
                 salts[is_hot] = (uhash[is_hot] % hot_salt_arr[pos_c[is_hot]].astype(np.uint64)).astype(np.int64)
         return pa.table(
             {
@@ -271,6 +267,26 @@ def _stable_hash(s: str) -> int:
     for b in s.encode("utf-8"):
         h ^= b
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _stable_hash_vec(col) -> np.ndarray:
+    """Vectorized FNV-1a over a string column: position-wise numpy sweep of
+    the raw Arrow byte buffer (loop bound = longest string, not row count)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    starts, lens = offsets[:-1], offsets[1:] - offsets[:-1]
+    h = np.full(len(col), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max(initial=0))):
+            active = lens > j
+            b = data[starts[active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ b) * prime
     return h
 
 
@@ -601,6 +617,11 @@ def knn_finalize(candidates_ds, k_by_qid: dict[str, int]):
     """groupby(qid) merge: sort (dist_m, url), cut to k, emit rank."""
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:  # typed empty block (no schema-drift warnings)
+            return pd.DataFrame({"qid": pd.Series([], dtype=str),
+                                 "url": pd.Series([], dtype=str),
+                                 "rank": pd.Series([], dtype=np.int64),
+                                 "dist_m": pd.Series([], dtype=np.float64)})
         qid = group["qid"].iloc[0]
         k = k_by_qid[qid]
         g = group.sort_values(["dist_m", "url"], kind="mergesort").head(k)

@@ -102,3 +102,17 @@ def test_kmeans_deterministic():
         "jimmy_ray.functions.simsearch", fromlist=["x"]
     ).train_centroids(vecs)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_ivf_training_sample_bounded_and_deterministic(ray_session, monkeypatch):
+    """The quantizer never trains on O(n) driver state: the hash-threshold
+    sample stays near TRAIN_SAMPLE_TARGET rows and is identical across
+    runs/partitionings (pure function of vec_id)."""
+    from jimmy_ray.functions import simsearch
+
+    monkeypatch.setattr(simsearch, "TRAIN_SAMPLE_TARGET", 64)
+    vecs = simsearch._training_sample("/root/testdata/sf0.001")
+    # Bernoulli(64/500) over 500 ids: far below the table, above zero
+    assert 16 <= len(vecs) <= 3 * 64
+    again = simsearch._training_sample("/root/testdata/sf0.001")
+    assert np.array_equal(vecs, again)
