@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": lambda sf: flagship.extracted(sf).select_columns(
             ["url", "title", "text"]
         ),
+        # streamline_tables normalization (M3; html_filter.py:568-673)
+        "table_extract": lambda sf: __import__(
+            "jimmy_ray.stages.extract", fromlist=["x"]
+        ).table_extract(sf),
         # geocode (M23-analogue scalar parse; intermediate_format.py:183-185)
         "geocode": flagship.geo_points,
         # geocell + tile assignment (north-rule cell index, ST6/A4)
@@ -206,6 +210,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": (
             f"{_PAGES_CTE} SELECT url, {_TITLE_SQL} AS title, text FROM pages"
+        ),
+        "table_extract": (
+            f"SELECT doc_id, {synth.sql_table_markdown()} AS text FROM documents"
         ),
         "geocode": f"{_POINTS_CTE} SELECT url, lat_e6, lon_e6 FROM pts",
         "tile_assignment": (

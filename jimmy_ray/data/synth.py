@@ -329,3 +329,49 @@ def sql_geo_exprs() -> tuple[str, str]:
         f"ELSE (({h} // 3) % 360000001) - 180000000 END)"
     )
     return lat, lon
+
+
+# --- complex-table fixture (streamline_tables oracle) ----------------------
+
+# One page per document exercising every table normalization at once:
+# caption, colspan header, hidden cell, rowspan, block content in cells,
+# list in cell (behavior port of streamline_tables,
+# /root/reference/src/jimmy/md_lib/html_filter.py:568-673).  The golden
+# markdown template below and sql_table_markdown() are generated from the
+# same string, so Python and DuckDB cannot drift.
+
+TABLE_GOLDEN_TEMPLATE = (
+    "Stats {id}\n\n"
+    "| k | pair |  |\n"
+    "| --- | --- | --- |\n"
+    "| id {id} | x | y |\n"
+    "|  | a<br>b {id} | <br>- l1<br>- l2 {id} |"
+)
+
+
+def render_table_html(doc_id: int) -> str:
+    i = doc_id
+    return (
+        "<html><body>"
+        f"<table><caption>Stats {i}</caption>"
+        '<tr><th>k</th><th colspan="2">pair</th></tr>'
+        f'<tr><td rowspan="2">id {i}</td><td>x</td>'
+        f"<td hidden>secret</td><td>y</td></tr>"
+        f"<tr><td><p>a</p><p>b {i}</p></td>"
+        f"<td><ul><li>l1</li><li>l2 {i}</li></ul></td></tr>"
+        "</table></body></html>"
+    )
+
+
+def table_golden_markdown(doc_id: int) -> str:
+    return TABLE_GOLDEN_TEMPLATE.replace("{id}", str(doc_id))
+
+
+def sql_table_markdown() -> str:
+    return (
+        "'"
+        + TABLE_GOLDEN_TEMPLATE.replace("'", "''").replace(
+            "{id}", "' || CAST(doc_id AS VARCHAR) || '"
+        )
+        + "'"
+    )

@@ -160,6 +160,194 @@ def _merged_node(a: "_Node", b: "_Node") -> "_Node":
     return node
 
 
+# --- DOM tree filters (generic suite, html_filter.py behavior ports) -------
+
+# /root/reference/src/jimmy/md_lib/html_filter.py:123-139
+_INLINE_FMT_TAGS = frozenset({
+    "b", "cite", "code", "del", "em", "i", "ins", "mark", "s", "strike",
+    "strong", "sub", "sup", "tt", "u",
+})
+
+
+def _count_li(node: _Node) -> int:
+    n = 0
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.tag == "li":
+                n += 1
+            n += _count_li(child)
+    return n
+
+
+def _merge_single_element_lists(children: list) -> None:
+    """Append one-item ul/ol to a directly preceding list of the same kind
+    (merge_single_element_lists, html_filter.py:197-214)."""
+    out: list = []
+    for child in children:
+        if isinstance(child, _Node):
+            _merge_single_element_lists(child.children)
+            if child.tag in ("ul", "ol") and _count_li(child) == 1:
+                for prev in reversed(out):
+                    if isinstance(prev, str):
+                        if prev.strip():
+                            break
+                        continue
+                    if prev.tag == child.tag:
+                        prev.children.extend(child.children)
+                        child = None
+                    break
+                if child is None:
+                    continue
+        out.append(child)
+    children[:] = out
+
+
+def _remove_duplicated_links(children: list) -> None:
+    """Unwrap <a href=X><img src=X></a> and nested same-href anchors
+    (remove_duplicated_links, html_filter.py:413-425)."""
+    out: list = []
+    for child in children:
+        if isinstance(child, _Node):
+            _remove_duplicated_links(child.children)
+            if child.tag == "a":
+                href = child.attrs.get("href", "")
+                if href and any(
+                    isinstance(c, _Node) and c.tag == "img"
+                    and c.attrs.get("src", "") == href
+                    for c in child.children
+                ):
+                    out.extend(child.children)
+                    continue
+                if href:
+                    _unwrap_nested_anchor(child, href)
+        out.append(child)
+    children[:] = out
+
+
+def _unwrap_nested_anchor(node: _Node, href: str) -> None:
+    out: list = []
+    for child in node.children:
+        if isinstance(child, _Node):
+            _unwrap_nested_anchor(child, href)
+            if child.tag == "a" and child.attrs.get("href", "") == href:
+                out.extend(child.children)
+                continue
+        out.append(child)
+    node.children[:] = out
+
+
+def _multiline_markup(children: list) -> None:
+    """br/p inside inline formatting splits the formatting per segment;
+    br inside headings is dropped (multiline_markup,
+    html_filter.py:216-228)."""
+    out: list = []
+    for child in children:
+        if isinstance(child, _Node):
+            _multiline_markup(child.children)
+            if child.tag in _HEADINGS:
+                child.children = [
+                    c for c in child.children
+                    if not (isinstance(c, _Node) and c.tag == "br")
+                ]
+            elif child.tag in _INLINE_FMT_TAGS and any(
+                isinstance(c, _Node) and c.tag in ("br", "p")
+                for c in child.children
+            ):
+                for sub in child.children:
+                    if isinstance(sub, _Node) and sub.tag in ("br", "p"):
+                        out.append(sub)
+                    else:
+                        wrap = _Node(child.tag, dict(child.attrs))
+                        wrap.children = [sub]
+                        out.append(wrap)
+                continue
+        out.append(child)
+    children[:] = out
+
+
+def _unwrap_inline_whitespace(children: list) -> None:
+    """Move leading/trailing spaces out of single-text inline markup so
+    ``<b>foo </b>bar`` renders **foo** bar (unwrap_inline_whitespace,
+    html_filter.py:711-746)."""
+    out: list = []
+    for child in children:
+        if isinstance(child, _Node):
+            _unwrap_inline_whitespace(child.children)
+            if (
+                child.tag in _INLINE_FMT_TAGS
+                and len(child.children) == 1
+                and isinstance(child.children[0], str)
+            ):
+                s = child.children[0]
+                if "\n" not in s and s != s.strip():
+                    lead = s[: len(s) - len(s.lstrip())]
+                    trail = s[len(s.rstrip()):]
+                    child.children[0] = s.strip()
+                    if lead:
+                        out.append(lead)
+                    out.append(child)
+                    if trail:
+                        out.append(trail)
+                    continue
+        out.append(child)
+    children[:] = out
+
+
+def _remove_empty_markup(children: list) -> None:
+    """Unwrap inline formatting with empty/whitespace-only content
+    (remove_empty_markup, html_filter.py:428-454)."""
+    out: list = []
+    for child in children:
+        if isinstance(child, _Node):
+            _remove_empty_markup(child.children)
+            if child.tag in _INLINE_FMT_TAGS:
+                cs = child.children
+                if not cs:
+                    continue
+                if (
+                    len(cs) == 1 and isinstance(cs[0], str)
+                    and "\n" not in cs[0] and not cs[0].strip()
+                ):
+                    out.append(cs[0])
+                    continue
+        out.append(child)
+    children[:] = out
+
+
+_CODE_LIKE = frozenset({"annotation", "code", "kbd", "samp", "pre", "var"})
+
+
+def replace_special_characters(children: list, in_code: bool = False) -> None:
+    """Re-parse text nodes that still contain markup after entity decoding
+    (replace_special_characters, html_filter.py:457-467).  Not in the
+    default chain — a registry filter, like the reference (convert.py:73
+    applies it only as a custom_filter)."""
+    out: list = []
+    for child in children:
+        if isinstance(child, str):
+            if not in_code and "<" in child and ">" in child:
+                out.extend(parse_dom(child).children)
+                continue
+        else:
+            replace_special_characters(
+                child.children, in_code or child.tag in _CODE_LIKE
+            )
+        out.append(child)
+    children[:] = out
+
+
+def apply_default_filters(root: _Node) -> None:
+    """The generic tree-filter chain, in the reference's order
+    (convert.py:80-96; render-level filters — checklists, highlighting,
+    iframes, internal-heading slugs, merge-consecutive, bold-header,
+    tables, underline/strikethrough — run inside the Markdown writer)."""
+    _merge_single_element_lists(root.children)
+    _remove_duplicated_links(root.children)
+    _multiline_markup(root.children)
+    _unwrap_inline_whitespace(root.children)
+    _remove_empty_markup(root.children)
+
+
 def _render_inline(children: list, strip_bold: bool = False) -> str:
     """Render inline content; collapses whitespace runs (HTML semantics)."""
     parts: list[str] = []
@@ -244,45 +432,209 @@ def _render_list(node: _Node, depth: int) -> str:
     return "\n".join(lines)
 
 
-def _table_cells(node: _Node) -> list[list[_Node]]:
-    rows: list[list[_Node]] = []
+def _table_rows(node: _Node) -> list[_Node]:
+    """tr elements of this table (through thead/tbody/tfoot, not into
+    nested tables)."""
+    trs: list[_Node] = []
 
     def walk(n: _Node):
         for child in n.children:
             if not isinstance(child, _Node):
                 continue
             if child.tag == "tr":
-                cells = [c for c in child.children
-                         if isinstance(c, _Node) and c.tag in ("td", "th")]
-                if cells:
-                    rows.append(cells)
+                trs.append(child)
             elif child.tag in ("thead", "tbody", "tfoot"):
                 walk(child)
 
     walk(node)
-    return rows
+    return trs
+
+
+def _span(cell: _Node, attr: str) -> int:
+    try:
+        return max(1, int(cell.attrs.get(attr, "1") or 1))
+    except ValueError:
+        return 1
+
+
+_NBSP = " "
+
+
+def _render_cell_list(node: _Node, level: int) -> str:
+    """List inside a table cell: every item becomes <br> + nbsp-indent +
+    bullet + text (streamline_tables simplify_list,
+    /root/reference/src/jimmy/md_lib/html_filter.py:575-586)."""
+    ordered = node.tag == "ol"
+    parts: list[str] = []
+    index = 1
+    for child in node.children:
+        if not isinstance(child, _Node) or child.tag != "li":
+            continue
+        bullet = f"{index}. " if ordered else "- "
+        index += 1
+        nested = [c for c in child.children
+                  if _is_block(c) and c.tag in ("ul", "ol")]
+        inline = [c for c in child.children if c not in nested]
+        parts.append("<br>" + _NBSP * 4 * level + bullet
+                     + _render_inline(inline).replace("\n", "<br>"))
+        for sub in nested:
+            parts.append(_render_cell_list(sub, level + 1))
+    return "".join(parts)
+
+
+def _join_cell_parts(parts: list[str]) -> str:
+    """Join cell block fragments with <br>; fragments that already start
+    with <br> (lists) concatenate directly."""
+    out = ""
+    for p in parts:
+        if not p:
+            continue
+        if not out or p.startswith("<br>"):
+            out += p
+        else:
+            out += "<br>" + p
+    return out
+
+
+def _render_cell(cell: _Node) -> str:
+    """Cell content flattened to one pipe-safe line: blocks joined with
+    literal <br>, headers → bold, blockquote → inline quote, pre/div/span
+    unwrapped, lists → <br>-prefixed items, nested tables → rows joined
+    with <br> (behavior port of streamline_tables,
+    /root/reference/src/jimmy/md_lib/html_filter.py:568-673, plus the
+    pandoc pipe-writer flattening the reference relies on)."""
+    parts: list[str] = []
+    inline_run: list = []
+
+    def flush():
+        if inline_run:
+            text = _render_inline(inline_run).replace("\n", "<br>")
+            if text:
+                parts.append(text)
+            inline_run.clear()
+
+    def walk(children: list):
+        for child in children:
+            if isinstance(child, str):
+                if child.strip():
+                    inline_run.append(child)
+                continue
+            tag = child.tag
+            if tag in ("div", "section", "article"):
+                walk(child.children)  # unwrap (html_filter.py:604-608)
+            elif tag == "p":
+                flush()
+                inline_run.extend(child.children)
+                flush()
+            elif tag in _HEADINGS:
+                flush()
+                inner = _render_inline(child.children, strip_bold=True)
+                if inner:
+                    parts.append(f"**{inner}**")  # html_filter.py:664-666
+            elif tag in ("ul", "ol"):
+                flush()
+                md = _render_cell_list(child, 0)
+                if md:
+                    parts.append(md)
+            elif tag == "blockquote":
+                flush()
+                inner = _render_cell(child)
+                if inner:
+                    parts.append(f'"{inner}"')  # q-ified (html_filter.py:668-670)
+            elif tag == "pre":
+                flush()
+                code = _text_content(child).strip()
+                if code:
+                    parts.append("`" + code.replace("\n", " ") + "`")
+            elif tag == "table":
+                flush()
+                grid, _ = _table_grid(child)
+                rows_md = ["  ".join(t for t, _ in row).strip() for row in grid]
+                parts.append("<br>".join(r for r in rows_md if r))
+            elif _is_block(child):
+                flush()
+                walk(child.children)
+            else:
+                inline_run.append(child)
+        flush()
+
+    walk(cell.children)
+    return _join_cell_parts(parts)
+
+
+def _table_grid(node: _Node) -> tuple[list[list[tuple[str, bool]]], bool]:
+    """Expand the table into a dense (text, is_header) grid: hidden cells
+    dropped, colspan/rowspan expanded with empty padding (content in the
+    top-left position), ragged rows padded."""
+    trs = _table_rows(node)
+    grid: list[list[tuple[str, bool]]] = []
+    pending: dict[int, int] = {}  # col -> rows still covered by a rowspan
+    first_row_has_rowspan = False
+    for r, tr in enumerate(trs):
+        cells = [c for c in tr.children
+                 if isinstance(c, _Node) and c.tag in ("td", "th")
+                 and "hidden" not in c.attrs]
+        row: list[tuple[str, bool]] = []
+        col = 0
+        for cell in cells:
+            while pending.get(col, 0) > 0:
+                pending[col] -= 1
+                row.append(("", False))
+                col += 1
+            colspan = _span(cell, "colspan")
+            rowspan = _span(cell, "rowspan")
+            if r == 0 and rowspan > 1:
+                first_row_has_rowspan = True
+            is_th = cell.tag == "th"
+            row.append((_render_cell(cell), is_th))
+            if rowspan > 1:
+                pending[col] = pending.get(col, 0) + rowspan - 1
+            col += 1
+            for _ in range(colspan - 1):
+                if rowspan > 1:
+                    pending[col] = pending.get(col, 0) + rowspan - 1
+                row.append(("", is_th))
+                col += 1
+        while pending.get(col, 0) > 0:
+            pending[col] -= 1
+            row.append(("", False))
+            col += 1
+        if row:
+            grid.append(row)
+    if grid:
+        width = max(len(row) for row in grid)
+        for row in grid:
+            row.extend([("", False)] * (width - len(row)))
+    return grid, first_row_has_rowspan
 
 
 def _render_table(node: _Node) -> str:
-    rows = _table_cells(node)
-    if not rows:
+    """Normalized pipe table (no [TABLE] punt): any rowspan/colspan/
+    block-content/ragged table is rewritten, mirroring streamline_tables
+    + the pandoc pipe writer.  First row becomes the header (td promoted
+    to th, html_filter.py:653-661) unless it spans rows, in which case
+    the table is headerless (empty header row)."""
+    grid, first_row_has_rowspan = _table_grid(node)
+    if not grid:
         return ""
-    for cells in rows:
-        for cell in cells:
-            if "rowspan" in cell.attrs or "colspan" in cell.attrs:
-                return "[TABLE]"
-            if any(_is_block(c) for c in cell.children):
-                return "[TABLE]"
-    width = max(len(cells) for cells in rows)
-    if any(len(cells) != width for cells in rows):
-        return "[TABLE]"
-    lines = []
-    for i, cells in enumerate(rows):
-        rendered = [_render_inline(c.children) for c in cells]
-        lines.append("| " + " | ".join(rendered) + " |")
-        if i == 0:
-            lines.append("| " + " | ".join(["---"] * width) + " |")
-    return "\n".join(lines)
+    width = len(grid[0])
+    caption = ""
+    cap = _find(node, "caption")
+    if cap is not None:
+        caption_text = _render_inline(cap.children).replace("\n", " ").strip()
+        if caption_text:
+            caption = caption_text + "\n\n"
+    if first_row_has_rowspan:
+        header = [""] * width
+        data = grid
+    else:
+        header = [t for t, _ in grid[0]]
+        data = grid[1:]
+    lines = ["| " + " | ".join(header) + " |",
+             "| " + " | ".join(["---"] * width) + " |"]
+    for row in data:
+        lines.append("| " + " | ".join(t for t, _ in row) + " |")
+    return caption + "\n".join(lines)
 
 
 def _checklist_div_to_list(node: _Node) -> _Node:
@@ -385,6 +737,7 @@ def html_to_markdown_and_title(html: bytes | str) -> tuple[str, str]:
     """Single-parse extraction: one parse_dom serves both renders (DOM parse
     dominated the flagship stage when run twice per document)."""
     root = parse_dom(html)
+    apply_default_filters(root)
     body = _find(root, "body") or root
     out: list[str] = []
     _render_blocks(body.children, out)

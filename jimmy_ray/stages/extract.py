@@ -113,3 +113,23 @@ def geocode_points_batch(batch: pa.Table) -> pa.Table:
             "lon_e6": pa.array(lon_e6[has_geo], pa.int64()),
         }
     )
+
+
+def table_extract(sf_dir: str):
+    """Complex-table normalization as an oracle-checked op: one synthesized
+    rowspan/colspan/hidden/block-content table per document → extracted
+    pipe-table markdown (streamline_tables behavior port,
+    /root/reference/src/jimmy/md_lib/html_filter.py:568-673)."""
+    import ray.data as rd
+
+    from jimmy_ray.data import synth
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [hx.html_to_markdown(synth.render_table_html(i)) for i in ids]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)

@@ -55,10 +55,61 @@ CASES = [
     # pipe tables (html_filter.py:568 streamline_tables; simple path)
     ("<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>",
      "| a | b |\n| --- | --- |\n| 1 | 2 |"),
-    # complex table -> [TABLE] (convert.py:109-111)
+    # streamline_tables normalization (html_filter.py:568-673) — complex
+    # tables are rewritten into pipe tables, never punted to [TABLE]:
+    # rowspan in first row -> headerless table, covered cells padded empty
     ('<table><tr><td rowspan="2">a</td><td>b</td></tr><tr><td>c</td></tr></table>',
-     "[TABLE]"),
-    ("<table><tr><td><ul><li>x</li></ul></td></tr></table>", "[TABLE]"),
+     "|  |  |\n| --- | --- |\n| a | b |\n|  | c |"),
+    # list in cell -> <br>-prefixed items (simplify_list, html_filter.py:575)
+    ("<table><tr><td><ul><li>x</li></ul></td></tr></table>",
+     "| <br>- x |\n| --- |"),
+    # colspan expansion: content top-left, empty padding
+    ('<table><tr><th>a</th><th colspan="2">b</th></tr>'
+     "<tr><td>1</td><td>2</td><td>3</td></tr></table>",
+     "| a | b |  |\n| --- | --- | --- |\n| 1 | 2 | 3 |"),
+    # block content in cells flattened with <br>
+    ("<table><tr><th>h</th></tr><tr><td><p>one</p><p>two</p></td></tr></table>",
+     "| h |\n| --- |\n| one<br>two |"),
+    # nested list in cell: nbsp-indented (simplify_list level handling)
+    ("<table><tr><th>h</th></tr>"
+     "<tr><td><ul><li>a<ul><li>b</li></ul></li></ul></td></tr></table>",
+     "| h |\n| --- |\n| <br>- a<br>    - b |"),
+    # hidden cells removed (html_filter.py:595-600) + ragged row padded
+    ('<table><tr><td>a</td><td hidden>x</td><td>b</td></tr>'
+     "<tr><td>c</td></tr></table>",
+     "| a | b |\n| --- | --- |\n| c |  |"),
+    # headers in cells -> bold (html_filter.py:664-666)
+    ("<table><tr><th>h</th></tr><tr><td><h3>T</h3></td></tr></table>",
+     "| h |\n| --- |\n| **T** |"),
+    # blockquote in cell -> inline quote (html_filter.py:668-670)
+    ("<table><tr><th>h</th></tr><tr><td><blockquote>q</blockquote></td></tr></table>",
+     '| h |\n| --- |\n| "q" |'),
+    # caption precedes the table (md_lib/tables.py:36)
+    ("<table><caption>Cap</caption><tr><th>a</th></tr><tr><td>1</td></tr></table>",
+     "Cap\n\n| a |\n| --- |\n| 1 |"),
+    # nested table flattened into the cell (html_filter.py:590-592)
+    ("<table><tr><th>h</th></tr><tr><td>x<table><tr><td>p</td><td>q</td></tr>"
+     "</table></td></tr></table>",
+     "| h |\n| --- |\n| x<br>p  q |"),
+    # pre in cell -> inline code (html_filter.py:602-608)
+    ("<table><tr><th>h</th></tr><tr><td><pre>co de</pre></td></tr></table>",
+     "| h |\n| --- |\n| `co de` |"),
+    # br in cell kept as literal <br> (convert.py:113 TEMPORARYNEWLINE)
+    ("<table><tr><th>h</th></tr><tr><td>a<br>b</td></tr></table>",
+     "| h |\n| --- |\n| a<br>b |"),
+    # merge_single_element_lists (html_filter.py:197-214)
+    ("<ul><li>a</li></ul><ul><li>b</li></ul>", "- a\n- b"),
+    ("<ul><li>a</li></ul><ol><li>b</li></ol>", "- a\n\n1. b"),  # kinds differ
+    # remove_duplicated_links (html_filter.py:413-425)
+    ('<p><a href="i.png"><img src="i.png"/></a></p>', "![](i.png)"),
+    ('<p><a href="u">x<a href="u">y</a></a></p>', "[xy](u)"),
+    # multiline_markup (html_filter.py:216-228)
+    ("<p><b>a<br>b</b></p>", "**a**\n**b**"),
+    ("<h2>a<br>b</h2>", "## ab"),
+    # unwrap_inline_whitespace (html_filter.py:711-746)
+    ("<p><b>foo </b>bar</p>", "**foo** bar"),
+    # remove_empty_markup preserves the space (html_filter.py:428-454)
+    ("<p>a<b> </b>b</p>", "a b"),
     # blockquote / pre / hr
     ("<blockquote><p>q</p></blockquote>", "> q"),
     ("<pre>code  here\n  indented</pre>", "```\ncode  here\n  indented\n```"),
@@ -123,3 +174,21 @@ def test_hostile_titles_roundtrip():
     for title in synth.HOSTILE_TITLES:
         html = synth.render_html(3, 0, "x", title)
         assert extract_title(html) == " ".join(title.split())
+
+
+def test_replace_special_characters_registry_filter():
+    """Escaped markup in text is re-parsed when the registry filter is
+    applied (replace_special_characters, html_filter.py:457-467) — not in
+    the default chain, mirroring convert.py custom_filter usage."""
+    from jimmy_ray.html import extract as hx
+
+    root = hx.parse_dom(wrap("<p>&lt;b&gt;x&lt;/b&gt;</p><pre>&lt;kept&gt;</pre>"))
+    hx.replace_special_characters(root.children)
+    body = hx._find(root, "body")
+    out: list[str] = []
+    hx._render_blocks(body.children, out)
+    assert "\n\n".join(out) == "**x**\n\n```\n<kept>\n```"
+
+
+def test_default_chain_skips_special_characters():
+    assert html_to_markdown(wrap("<p>&lt;b&gt;x&lt;/b&gt;</p>")) == "<b>x</b>"
