@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xml_notes_extract": lambda sf: __import__(
             "jimmy_ray.sources.xmlnotes", fromlist=["x"]
         ).xml_notes_extract(sf),
+        # ENEX rich-content state machine + inline AES en-crypt (M4/M26)
+        "enex_extract": lambda sf: __import__(
+            "jimmy_ray.sources.enex", fromlist=["x"]
+        ).enex_extract(sf),
         "decrypt_notes": lambda sf: __import__(
             "jimmy_ray.scalars.crypto", fromlist=["x"]
         ).decrypt_notes(sf),
@@ -401,6 +405,9 @@ def oracle_sql() -> dict[str, str]:
         "xml_notes_extract": __import__(
             "jimmy_ray.sources.xmlnotes", fromlist=["x"]
         ).sql_xml_notes_extract(),
+        "enex_extract": __import__(
+            "jimmy_ray.sources.enex", fromlist=["x"]
+        ).sql_enex_extract(),
         "decrypt_notes": "SELECT doc_id, text FROM documents",
         "sqlite_notes": (
             "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
