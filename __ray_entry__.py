@@ -162,6 +162,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enex_extract": lambda sf: __import__(
             "jimmy_ray.sources.enex", fromlist=["x"]
         ).enex_extract(sf),
+        # S8 JSON-export readers (google_keep.py / telegram.py / day_one.py)
+        "google_keep_extract": lambda sf: __import__(
+            "jimmy_ray.sources.json_exports", fromlist=["x"]
+        ).google_keep_extract(sf),
+        "telegram_extract": lambda sf: __import__(
+            "jimmy_ray.sources.json_exports", fromlist=["x"]
+        ).telegram_extract(sf),
+        "dayone_extract": lambda sf: __import__(
+            "jimmy_ray.sources.json_exports", fromlist=["x"]
+        ).dayone_extract(sf),
         "decrypt_notes": lambda sf: __import__(
             "jimmy_ray.scalars.crypto", fromlist=["x"]
         ).decrypt_notes(sf),
@@ -408,6 +418,15 @@ def oracle_sql() -> dict[str, str]:
         "enex_extract": __import__(
             "jimmy_ray.sources.enex", fromlist=["x"]
         ).sql_enex_extract(),
+        "google_keep_extract": __import__(
+            "jimmy_ray.sources.json_exports", fromlist=["x"]
+        ).sql_google_keep_extract(),
+        "telegram_extract": __import__(
+            "jimmy_ray.sources.json_exports", fromlist=["x"]
+        ).sql_telegram_extract(),
+        "dayone_extract": __import__(
+            "jimmy_ray.sources.json_exports", fromlist=["x"]
+        ).sql_dayone_extract(),
         "decrypt_notes": "SELECT doc_id, text FROM documents",
         "sqlite_notes": (
             "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
