@@ -182,6 +182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resource_sink_names": lambda sf: __import__(
             "jimmy_ray.stages.resources", fromlist=["x"]
         ).resource_sink_names(sf),
+        # J7 filename-recovery probe ladder (common.py:205-219,505-519)
+        "filename_recovery": lambda sf: __import__(
+            "jimmy_ray.stages.filerecovery", fromlist=["x"]
+        ).filename_recovery(sf),
         # fuzzy title matching (J5; difflib — rows-only) + A1 counters
         "fuzzy_title_match": lambda sf: __import__(
             "jimmy_ray.stages.fuzzy", fromlist=["x"]
@@ -435,6 +439,9 @@ def oracle_sql() -> dict[str, str]:
         "resource_sink_names": __import__(
             "jimmy_ray.stages.resources", fromlist=["x"]
         ).sql_resource_sink_names(),
+        "filename_recovery": __import__(
+            "jimmy_ray.stages.filerecovery", fromlist=["x"]
+        ).sql_filename_recovery(),
         "import_stats": (
             f"SELECT CAST({synth.N_VARIANTS} * c AS BIGINT) AS n_pages, "
             "CAST(c AS BIGINT) AS n_titled_notes, "

@@ -1,0 +1,257 @@
+"""App-specific DOM filter hooks (the reference's custom_filter tier).
+
+Behavior ports of /root/reference/src/jimmy/md_lib/html_filter.py's
+per-app soup filters, re-expressed over this engine's _Node tree and
+exposed through ``FILTER_REGISTRY`` (the reference passes them per-format
+via ``markup_to_markdown(custom_filter=[...])``, convert.py:73-78):
+
+- nimbus_add_mark (:231-246): nn-marker class / highlight attrs → mark
+- nimbus_add_note_links (:249-266): span.mention-link →
+  ``<a href="nimbusnote://<quoted name>">``
+- notion_streamline_lists (:386-395): ul.to-do-list item divs →
+  checkbox inputs
+- synology_fix_checklists (:490-550): flat checkbox divs →
+  nested task lists (level = padding-left / 30px)
+- synology_fix_img_src (:553-562): transparent-gif imgs take src from ref
+- upnote_add_highlight (:766-770): shine-highlight* class → mark
+- upnote_streamline_checklists (:773-787): li[data-checked] → checklist
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote
+
+from jimmy_ray.html.extract import _Node
+
+_HIGHLIGHT_ATTRS = (
+    "data-highlight", "data-block-background", "data-comment-color",
+    "data-palette-bg-rgb",
+)
+
+
+def _classes(node: _Node) -> list[str]:
+    return node.attrs.get("class", "").split()
+
+
+def _styles(node: _Node) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for item in node.attrs.get("style", "").split(";"):
+        if ":" in item:
+            k, _, v = item.partition(":")
+            out[k.strip()] = v.strip()
+    return out
+
+
+def _wrap_content(node: _Node, tag: str) -> None:
+    inner = _Node(tag, {})
+    inner.children = node.children
+    node.children = [inner]
+
+
+def _walk(children: list, fn) -> None:
+    """Depth-first: fn may rewrite each child list in place."""
+    fn(children)
+    for child in children:
+        if isinstance(child, _Node):
+            _walk(child.children, fn)
+
+
+# --- nimbus ----------------------------------------------------------------
+
+def nimbus_add_mark(root: _Node) -> None:
+    def visit(children: list) -> None:
+        for child in children:
+            if not isinstance(child, _Node):
+                continue
+            if "nn-marker" in _classes(child):
+                _wrap_content(child, "mark")
+                continue
+            for attr in _HIGHLIGHT_ATTRS:
+                value = child.attrs.get(attr)
+                if value is not None and value not in ("transparent", "white"):
+                    _wrap_content(child, "mark")
+                    break
+
+    _walk(root.children, visit)
+
+
+def nimbus_add_note_links(root: _Node) -> None:
+    def visit(children: list) -> None:
+        for i, child in enumerate(children):
+            if (
+                isinstance(child, _Node)
+                and child.tag == "span"
+                and "mention-link" in _classes(child)
+            ):
+                name = child.attrs.get("data-mention-name", "") or "".join(
+                    c for c in child.children if isinstance(c, str)
+                )
+                if not name:
+                    continue
+                link = _Node("a", {"href": f"nimbusnote://{quote(name)}"})
+                link.children = [name]
+                children[i] = link
+
+    _walk(root.children, visit)
+
+
+# --- notion ----------------------------------------------------------------
+
+def notion_streamline_lists(root: _Node) -> None:
+    def visit(children: list) -> None:
+        for child in children:
+            if not (isinstance(child, _Node) and child.tag == "ul"
+                    and "to-do-list" in _classes(child)):
+                continue
+            for item in child.children:
+                if not (isinstance(item, _Node) and item.tag == "li"):
+                    continue
+                for sub in item.children:
+                    if isinstance(sub, _Node) and sub.tag == "div":
+                        sub.tag = "input"
+                        checked = "checkbox-on" in _classes(sub)
+                        sub.attrs = {"type": "checkbox"}
+                        if checked:
+                            sub.attrs["checked"] = ""
+                        break
+
+    _walk(root.children, visit)
+
+
+# --- synology note station -------------------------------------------------
+
+def _is_syno_checkbox_div(node) -> bool:
+    if not (isinstance(node, _Node) and node.tag == "div"):
+        return False
+    inputs = [
+        c for c in node.children
+        if isinstance(c, _Node) and c.tag == "input"
+        and "syno-notestation-editor-checkbox" in _classes(c)
+    ]
+    return len(inputs) == 1
+
+
+def synology_fix_checklists(root: _Node) -> None:
+    """Consecutive flat checkbox divs → one (nested) task list; level from
+    padding-left in 30px steps."""
+
+    def visit(children: list) -> None:
+        out: list = []
+        run: list[tuple[int, _Node]] = []  # (level, li)
+
+        def flush() -> None:
+            if not run:
+                return
+            top = _Node("ul", {})
+            stack = [top]  # stack[level] = ul at that depth
+            for level, li in run:
+                while len(stack) <= level:
+                    deeper = _Node("ul", {})
+                    host = stack[-1].children[-1] if stack[-1].children else None
+                    if isinstance(host, _Node) and host.tag == "li":
+                        host.children.append(deeper)
+                    else:
+                        stack[-1].children.append(deeper)
+                    stack.append(deeper)
+                del stack[level + 1 :]
+                stack[level].children.append(li)
+            out.append(top)
+            run.clear()
+
+        for child in children:
+            if _is_syno_checkbox_div(child):
+                level = 0
+                pad = _styles(child).get("padding-left", "0")
+                digits = "".join(ch for ch in pad if ch.isdigit())
+                if digits:
+                    level = int(digits) // 30
+                box = next(
+                    c for c in child.children
+                    if isinstance(c, _Node) and c.tag == "input"
+                )
+                checked = (
+                    "syno-notestation-editor-checkbox-checked" in _classes(box)
+                )
+                box.attrs = {"type": "checkbox"}
+                if checked:
+                    box.attrs["checked"] = ""
+                li = _Node("li", {})
+                li.children = [box] + [
+                    c for c in child.children if c is not box
+                ]
+                run.append((level, li))
+            else:
+                flush()
+                out.append(child)
+        flush()
+        children[:] = out
+
+    _walk(root.children, visit)
+
+
+def synology_fix_img_src(root: _Node) -> None:
+    def visit(children: list) -> None:
+        for child in children:
+            if (
+                isinstance(child, _Node)
+                and child.tag == "img"
+                and "syno-notestation-image-object" in _classes(child)
+                and child.attrs.get("src")
+                == "webman/3rdparty/NoteStation/images/transparent.gif"
+                and (ref := child.attrs.get("ref")) is not None
+            ):
+                child.attrs["src"] = ref
+
+    _walk(root.children, visit)
+
+
+# --- upnote ----------------------------------------------------------------
+
+def upnote_add_highlight(root: _Node) -> None:
+    def visit(children: list) -> None:
+        for child in children:
+            if isinstance(child, _Node) and any(
+                c.startswith("shine-highlight") for c in _classes(child)
+            ):
+                child.tag = "mark"
+
+    _walk(root.children, visit)
+
+
+def upnote_streamline_checklists(root: _Node) -> None:
+    def visit(children: list) -> None:
+        for child in children:
+            if not (isinstance(child, _Node) and child.tag == "ul"):
+                continue
+            has_checked = False
+            for item in child.children:
+                if not (isinstance(item, _Node) and item.tag == "li"
+                        and "data-checked" in item.attrs):
+                    continue
+                has_checked = True
+                box = _Node("input", {"type": "checkbox"})
+                if item.attrs.pop("data-checked", "false") == "true":
+                    box.attrs["checked"] = ""
+                # unwrap div/pre/span wrappers inside the item
+                flat: list = []
+                for sub in item.children:
+                    if isinstance(sub, _Node) and sub.tag in ("div", "pre", "span"):
+                        flat.extend(sub.children)
+                    else:
+                        flat.append(sub)
+                item.children = [box] + flat
+            if has_checked:
+                child.attrs["class"] = "checklist"
+
+    _walk(root.children, visit)
+
+
+FILTER_REGISTRY = {
+    "nimbus_add_mark": nimbus_add_mark,
+    "nimbus_add_note_links": nimbus_add_note_links,
+    "notion_streamline_lists": notion_streamline_lists,
+    "synology_fix_checklists": synology_fix_checklists,
+    "synology_fix_img_src": synology_fix_img_src,
+    "upnote_add_highlight": upnote_add_highlight,
+    "upnote_streamline_checklists": upnote_streamline_checklists,
+}

@@ -733,6 +733,25 @@ def extract_title(html: bytes | str) -> str:
     return html_to_markdown_and_title(html)[1]
 
 
+def html_to_markdown_filtered(
+    html: bytes | str, filter_names: list[str] | None = None
+) -> str:
+    """Extraction with app-specific pre-filters (the reference's
+    custom_filter hook, convert.py:73-78): registry filters run on the
+    parsed tree before the default chain."""
+    root = parse_dom(html)
+    if filter_names:
+        from jimmy_ray.html.appfilters import FILTER_REGISTRY
+
+        for name in filter_names:
+            FILTER_REGISTRY[name](root)
+    apply_default_filters(root)
+    body = _find(root, "body") or root
+    out: list[str] = []
+    _render_blocks(body.children, out)
+    return "\n\n".join(out).strip()
+
+
 def html_to_markdown_and_title(html: bytes | str) -> tuple[str, str]:
     """Single-parse extraction: one parse_dom serves both renders (DOM parse
     dominated the flagship stage when run twice per document)."""
