@@ -78,14 +78,17 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = _Node("#root", {})
         self.stack = [self.root]
+        self.tags_seen: set[str] = set()
 
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, dict(attrs))
+        self.tags_seen.add(tag)
         self.stack[-1].children.append(node)
         if tag not in _VOID_TAGS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
+        self.tags_seen.add(tag)
         self.stack[-1].children.append(_Node(tag, dict(attrs)))
 
     def handle_endtag(self, tag):
@@ -105,6 +108,9 @@ def parse_dom(html: bytes | str) -> _Node:
         html = html.decode("utf-8", errors="replace")
     builder = _TreeBuilder()
     builder.feed(html)
+    # tag inventory rides on the root so the filter chain can skip whole
+    # passes for documents that lack a filter's trigger tags
+    builder.root.attrs["#tags"] = builder.tags_seen
     return builder.root
 
 
@@ -340,12 +346,24 @@ def apply_default_filters(root: _Node) -> None:
     """The generic tree-filter chain, in the reference's order
     (convert.py:80-96; render-level filters — checklists, highlighting,
     iframes, internal-heading slugs, merge-consecutive, bold-header,
-    tables, underline/strikethrough — run inside the Markdown writer)."""
-    _merge_single_element_lists(root.children)
-    _remove_duplicated_links(root.children)
-    _multiline_markup(root.children)
-    _unwrap_inline_whitespace(root.children)
-    _remove_empty_markup(root.children)
+    tables, underline/strikethrough — run inside the Markdown writer).
+
+    Each pass is gated on the parse-time tag inventory: a document with no
+    <a> never pays the remove_duplicated_links walk, etc. (most pages
+    trigger at most one or two passes)."""
+    tags = root.attrs.get("#tags")
+    has_fmt = tags is None or bool(tags & _INLINE_FMT_TAGS)
+    if tags is None or "ul" in tags or "ol" in tags:
+        _merge_single_element_lists(root.children)
+    if tags is None or "a" in tags:
+        _remove_duplicated_links(root.children)
+    if has_fmt and (tags is None or "br" in tags or "p" in tags) or (
+        tags is not None and "br" in tags and tags & _HEADINGS.keys()
+    ):
+        _multiline_markup(root.children)
+    if has_fmt:
+        _unwrap_inline_whitespace(root.children)
+        _remove_empty_markup(root.children)
 
 
 def _render_inline(children: list, strip_bold: bool = False) -> str:

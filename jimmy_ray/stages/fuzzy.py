@@ -33,17 +33,42 @@ class FuzzyTitleMatchStage:
         self.titles = sorted(set(titles))
         self.threshold = threshold
         self.exact = set(self.titles)
+        # length buckets: ratio == 2M/(la+lb) <= 2*min(la,lb)/(la+lb), so
+        # whole buckets prune once that bound drops below the running best
+        # (the candidate-prune the O(titles) scan needed at scale; result
+        # is bit-identical to the full scan — ties resolve to the sorted-
+        # first title in both).
+        self.by_len: dict[int, list[str]] = {}
+        for t in self.titles:
+            self.by_len.setdefault(len(t), []).append(t)
 
     def best_match(self, query: str) -> tuple[str | None, float]:
         if query in self.exact:
             return query, 1.0
+        la = len(query)
+
+        def bound(lb: int) -> float:
+            return 2.0 * min(la, lb) / (la + lb) if la + lb else 0.0
+
         best_ratio = -1.0
         best_title = None
-        for title in self.titles:
-            ratio = difflib.SequenceMatcher(None, query, title).ratio()
-            if ratio > best_ratio:
-                best_ratio = ratio
-                best_title = title
+        for lb in sorted(self.by_len, key=bound, reverse=True):
+            if bound(lb) < best_ratio:  # no later bucket can beat or tie
+                break
+            for title in self.by_len[lb]:
+                sm = difflib.SequenceMatcher(None, query, title)
+                if sm.real_quick_ratio() < best_ratio:
+                    continue
+                if sm.quick_ratio() < best_ratio:
+                    continue
+                ratio = sm.ratio()
+                if ratio > best_ratio or (
+                    ratio == best_ratio
+                    and best_title is not None
+                    and title < best_title
+                ):
+                    best_ratio = ratio
+                    best_title = title
         if best_ratio < self.threshold:
             return None, best_ratio
         return best_title, best_ratio

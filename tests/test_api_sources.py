@@ -106,3 +106,35 @@ def test_format_dispatch_row_fault_isolation():
     assert out["text"].to_pylist() == ["", "ok"]
     assert "RuntimeError" in out["error"].to_pylist()[0]
     assert out["error"].to_pylist()[1] is None
+
+
+def test_fuzzy_prune_matches_bruteforce():
+    """The length-bucket candidate prune is bit-identical to the full
+    difflib scan (common.py:373-400 semantics), ties included."""
+    import difflib
+    import random
+    import string
+
+    from jimmy_ray.stages.fuzzy import FuzzyTitleMatchStage
+
+    rng = random.Random(7)
+    alphabet = string.ascii_lowercase + " "
+    titles = ["".join(rng.choices(alphabet, k=rng.randint(3, 20)))
+              for _ in range(80)] + ["Doc 5", "Doc 55", ""]
+    stage = FuzzyTitleMatchStage(titles)
+    sorted_titles = sorted(set(titles))
+
+    def brute(query):
+        if query in set(sorted_titles):
+            return query, 1.0
+        best_ratio, best_title = -1.0, None
+        for title in sorted_titles:
+            r = difflib.SequenceMatcher(None, query, title).ratio()
+            if r > best_ratio:
+                best_ratio, best_title = r, title
+        return (None, best_ratio) if best_ratio < 0.6 else (best_title, best_ratio)
+
+    queries = ["".join(rng.choices(alphabet, k=rng.randint(0, 25)))
+               for _ in range(80)] + ["doc 5", "Doc 5", "", "*Doc 55*"]
+    for q in queries:
+        assert stage.best_match(q) == brute(q), q
