@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": lambda sf: flagship.extracted(sf).select_columns(
             ["url", "title", "text"]
         ),
+        # ST1 persistent-subprocess converter pool (convert.py:99 pandoc shape)
+        "subprocess_extract": lambda sf: __import__(
+            "jimmy_ray.stages.subproc", fromlist=["x"]
+        ).subprocess_extract(sf),
         # streamline_tables normalization (M3; html_filter.py:568-673)
         "table_extract": lambda sf: __import__(
             "jimmy_ray.stages.extract", fromlist=["x"]
@@ -116,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).read_parquet(f"{sf}/documents.parquet").map_batches(
             textstats.lang_id_batch, batch_format="pyarrow"
         ),
+        # composed curation chain: quality gate -> lang gate -> exact dedup
+        "curate_corpus": textstats.curate_corpus,
         # dedup family (A3 exact + near-dup scale ops)
         "doc_dedup_exact": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -172,6 +178,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dayone_extract": lambda sf: __import__(
             "jimmy_ray.sources.json_exports", fromlist=["x"]
         ).dayone_extract(sf),
+        # Standard Notes references-invert join + super/Lexical routing
+        "standard_notes_extract": lambda sf: __import__(
+            "jimmy_ray.sources.standard_notes", fromlist=["x"]
+        ).standard_notes_extract(sf),
+        # Notion zip-of-zips container explode + Facebook posts (S8)
+        "notion_extract": lambda sf: __import__(
+            "jimmy_ray.sources.containers", fromlist=["x"]
+        ).notion_extract(sf),
+        "facebook_extract": lambda sf: __import__(
+            "jimmy_ray.sources.containers", fromlist=["x"]
+        ).facebook_extract(sf),
         "decrypt_notes": lambda sf: __import__(
             "jimmy_ray.scalars.crypto", fromlist=["x"]
         ).decrypt_notes(sf),
@@ -232,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "table_extract": (
             f"SELECT doc_id, {synth.sql_table_markdown()} AS text FROM documents"
         ),
+        "subprocess_extract": f"{_PAGES_CTE} SELECT url, text FROM pages",
         "geocode": f"{_POINTS_CTE} SELECT url, lat_e6, lon_e6 FROM pts",
         "tile_assignment": (
             f"{_POINTS_CTE} SELECT url, lat_e6, lon_e6,\n"
@@ -431,6 +449,15 @@ def oracle_sql() -> dict[str, str]:
         "dayone_extract": __import__(
             "jimmy_ray.sources.json_exports", fromlist=["x"]
         ).sql_dayone_extract(),
+        "standard_notes_extract": __import__(
+            "jimmy_ray.sources.standard_notes", fromlist=["x"]
+        ).sql_standard_notes_extract(),
+        "notion_extract": __import__(
+            "jimmy_ray.sources.containers", fromlist=["x"]
+        ).sql_notion_extract(),
+        "facebook_extract": __import__(
+            "jimmy_ray.sources.containers", fromlist=["x"]
+        ).sql_facebook_extract(),
         "decrypt_notes": "SELECT doc_id, text FROM documents",
         "sqlite_notes": (
             "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
@@ -460,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window": windows.sql_session_window(),
         "sliding_window": windows.sql_sliding_window(),
         "text_stats": textstats.sql_text_stats(),
+        "curate_corpus": textstats.sql_curate_corpus(),
         "lang_id": textstats.sql_lang_id(),
         "doc_dedup_exact": (
             "SELECT md5(text) AS md5, MIN(doc_id) AS keep_doc_id, "

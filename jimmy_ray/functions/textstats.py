@@ -273,3 +273,97 @@ def sql_lang_id() -> str:
         f"SELECT doc_id, {pred} AS pred_lang, "
         f"CAST({best} AS BIGINT) AS marker_hits FROM documents"
     )
+
+
+# --- composed curation pipeline (quality -> lang -> exact dedup) -----------
+
+def curate_corpus(sf_dir: str, lang: str = "en"):
+    """The canonical training-data curation chain as ONE streaming
+    pipeline: per-doc stats -> quality gate -> language gate -> exact
+    dedup (representative = min doc_id per fingerprint).  The dedup uses
+    the coarse-bucket + local-groupby shape (high-cardinality groups
+    degrade Ray's groupby().aggregate(); see jimmy_ray.functions.dedup
+    .pair_grouped rationale) — one 256-way shuffle regardless of corpus
+    size."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        stats = text_stats_batch(batch)
+        langs = lang_id_batch(batch)
+        keep = pa.array(
+            stats["quality_ok"].to_numpy(zero_copy_only=False)
+            & (langs["pred_lang"].to_numpy(zero_copy_only=False) == lang)
+        )
+        kept = pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": stats["fingerprint"],
+            "n_tokens": stats["n_tokens"],
+        }).filter(keep)
+        return kept.append_column(
+            "bucket",
+            pa.array(
+                [int(fp[:2], 16) for fp in kept["fingerprint"].to_pylist()],
+                pa.int64(),
+            ),
+        )
+
+    def local_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame({
+                "fingerprint": pd.Series([], dtype=str),
+                "keep_doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "n_dups": pd.Series([], dtype=np.int64),
+            })
+        g = group.sort_values("doc_id", kind="mergesort")
+        agg = g.groupby("fingerprint", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"),
+            n_tokens=("n_tokens", "first"),
+            n_dups=("doc_id", "size"),
+        )
+        agg["n_dups"] = agg["n_dups"].astype(np.int64)
+        return agg[["fingerprint", "keep_doc_id", "n_tokens", "n_dups"]]
+
+    return (
+        ds.map_batches(gate, batch_format="pyarrow", batch_size=1024)
+        .groupby("bucket")
+        .map_groups(local_dedup, batch_format="pandas")
+    )
+
+
+def sql_curate_corpus(lang: str = "en") -> str:
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_tok = f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+    quality = (
+        f"(({n_tok}) >= 5 AND CAST(length(text) AS DOUBLE) / "
+        f"CAST(greatest({n_tok}, 1) AS DOUBLE) <= 12.0)"
+    )
+    count_exprs = {}
+    for lg in LANG_ORDER:
+        pat = r"\b(" + "|".join(LANG_MARKERS[lg]) + r")\b"
+        count_exprs[lg] = f"len(regexp_extract_all(lower(text), '{pat}'))"
+    c = count_exprs
+    best = f"greatest({c['en']}, {c['de']}, {c['fr']}, {c['es']})"
+    pred = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        f"WHEN {c['en']} = {best} THEN 'en' "
+        f"WHEN {c['de']} = {best} THEN 'de' "
+        f"WHEN {c['fr']} = {best} THEN 'fr' "
+        f"ELSE 'es' END"
+    )
+    return f"""
+WITH gated AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         CAST({n_tok} AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE {quality} AND ({pred}) = '{lang}'
+)
+SELECT fingerprint, MIN(doc_id) AS keep_doc_id,
+       arg_min(n_tokens, doc_id) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM gated GROUP BY fingerprint
+"""

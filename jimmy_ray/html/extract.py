@@ -103,9 +103,91 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+# --- fast tokenizer --------------------------------------------------------
+# One C-regex sweep replaces html.parser's char-by-char goahead loop (the
+# per-document parse dominated extraction wall time).  Any construct the
+# sweep can't prove it handled identically (raw-text elements, stray '<'
+# in text, CDATA) falls back to html.parser, so behavior is bit-identical
+# by construction; a differential test asserts it on every fixture page.
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->"                      # comments
+    r"|<!\[CDATA\[.*?\]\]>"            # CDATA (fallback trigger below)
+    r"|<![^>]*>"                       # doctype / declarations
+    r"|<\?[^>]*>"                      # processing instructions
+    r"|</([a-zA-Z][-\w.:]*)\s*>"       # end tag       -> group 1
+    r"|<([a-zA-Z][-\w.:]*)"            # start tag     -> group 2
+    r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs -> 3
+    r"\s*(/?)>",                       # self-closing  -> group 4
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_RAWTEXT_RE = re.compile(r"<(script|style|textarea)\b", re.I)
+
+
+def _fast_parse(html: str) -> _Node | None:
+    """Regex-sweep DOM build; None = punt to html.parser."""
+    from html import unescape
+
+    if _RAWTEXT_RE.search(html) or "<![CDATA[" in html:
+        return None
+    root = _Node("#root", {})
+    stack = [root]
+    tags_seen: set[str] = set()
+    pos = 0
+    for m in _TOKEN_RE.finditer(html):
+        if m.start() > pos:
+            text = html[pos : m.start()]
+            if "<" in text:
+                return None  # stray '<' — html.parser has subtler rules
+            if text:
+                stack[-1].children.append(
+                    unescape(text) if "&" in text else text
+                )
+        pos = m.end()
+        end_tag, start_tag = m.group(1), m.group(2)
+        if start_tag is not None:
+            tag = start_tag.lower()
+            tags_seen.add(tag)
+            raw_attrs = m.group(3)
+            attrs: dict[str, str] = {}
+            if raw_attrs:
+                for am in _ATTR_RE.finditer(raw_attrs):
+                    value = next(
+                        (g for g in am.group(2, 3, 4) if g is not None), None
+                    )
+                    # bare attributes stay None, matching html.parser
+                    if value is not None and "&" in value:
+                        value = unescape(value)
+                    attrs[am.group(1).lower()] = value
+            node = _Node(tag, attrs)
+            stack[-1].children.append(node)
+            if not m.group(4) and tag not in _VOID_TAGS:
+                stack.append(node)
+        elif end_tag is not None:
+            tag = end_tag.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+    if pos < len(html):
+        tail = html[pos:]
+        if "<" in tail:
+            return None
+        if tail:
+            stack[-1].children.append(unescape(tail) if "&" in tail else tail)
+    root.attrs["#tags"] = tags_seen
+    return root
+
+
 def parse_dom(html: bytes | str) -> _Node:
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
+    root = _fast_parse(html)
+    if root is not None:
+        return root
     builder = _TreeBuilder()
     builder.feed(html)
     # tag inventory rides on the root so the filter chain can skip whole

@@ -138,3 +138,25 @@ def test_fuzzy_prune_matches_bruteforce():
                for _ in range(80)] + ["doc 5", "Doc 5", "", "*Doc 55*"]
     for q in queries:
         assert stage.best_match(q) == brute(q), q
+
+
+def test_subprocess_stage_dead_letters_and_restarts():
+    """ST1 protocol: conversion errors dead-letter; a killed worker is
+    respawned and the stage keeps converting."""
+    import pyarrow as pa
+
+    from jimmy_ray.stages.subproc import SubprocessConverterStage
+
+    stage = SubprocessConverterStage()
+    batch = pa.table({
+        "url": pa.array(["a", "b"], pa.string()),
+        "html": pa.array([b"<p>one</p>", b"<p>two</p>"], pa.binary()),
+    })
+    out = stage(batch)
+    assert out["text"].to_pylist() == ["one", "two"]
+    assert out["error"].to_pylist() == [None, None]
+    # kill the worker: next batch must transparently respawn
+    stage.proc.kill()
+    stage.proc.wait()
+    out2 = stage(batch)
+    assert out2["text"].to_pylist() == ["one", "two"]

@@ -192,3 +192,60 @@ def test_replace_special_characters_registry_filter():
 
 def test_default_chain_skips_special_characters():
     assert html_to_markdown(wrap("<p>&lt;b&gt;x&lt;/b&gt;</p>")) == "<b>x</b>"
+
+
+def test_fast_parse_differential_vs_htmlparser():
+    """The regex fast-path tokenizer must build the identical tree to the
+    html.parser fallback on every fixture page and feature case (adjacent
+    text nodes normalized; '#tags' inventory excluded)."""
+    from jimmy_ray.html import extract as hx
+
+    def slow_parse(html):
+        b = hx._TreeBuilder()
+        b.feed(html)
+        return b.root
+
+    def norm(children):
+        out = []
+        for c in children:
+            if isinstance(c, str) and out and isinstance(out[-1], str):
+                out[-1] += c
+            else:
+                out.append(c)
+        return out
+
+    def tree_eq(a, b):
+        if isinstance(a, str) or isinstance(b, str):
+            return a == b
+        attrs_a = {k: v for k, v in a.attrs.items() if k != "#tags"}
+        attrs_b = {k: v for k, v in b.attrs.items() if k != "#tags"}
+        if a.tag != b.tag or attrs_a != attrs_b:
+            return False
+        ca, cb = norm(a.children), norm(b.children)
+        return len(ca) == len(cb) and all(
+            tree_eq(x, y) for x, y in zip(ca, cb)
+        )
+
+    docs = []
+    for doc_id in (0, 1, 7, 101):
+        for v in range(synth.N_VARIANTS):
+            docs.append(synth.render_html(
+                doc_id, v, "text with & <angle> 'q' grüße",
+                synth.page_title(doc_id, synth.page_key(doc_id, v))))
+    docs += [wrap(body).encode() for body, _ in CASES]
+    docs.append(synth.render_table_html(42).encode())
+    for d in docs:
+        h = d.decode()
+        fast = hx._fast_parse(h)
+        assert fast is not None, h[:120]
+        assert tree_eq(fast, slow_parse(h)), h[:200]
+
+
+def test_fast_parse_fallback_triggers():
+    from jimmy_ray.html import extract as hx
+
+    assert hx._fast_parse("<script>var x=1;</script>") is None
+    assert hx._fast_parse("<p>a < b</p>") is None
+    assert hx._fast_parse("<![CDATA[x]]><p>y</p>") is None
+    # fallback still extracts correctly
+    assert html_to_markdown("<html><body><p>a &lt; b</p></body></html>") == "a < b"

@@ -47,3 +47,34 @@ def test_telegram_file_attachment_link():
     })
     row = jx.parse_telegram_chat(chat)
     assert row["body"].endswith("**u**: pic\n![a.jpg](tg/files/a.jpg)")
+
+
+def test_notion_mixed_zip_is_error():
+    import pytest
+
+    from jimmy_ray.sources import containers as ct
+
+    mixed = ct._zip_bytes([("a.zip", ct._zip_bytes([("x.md", b"x")])),
+                           ("b.md", b"loose")])
+    with pytest.raises(ValueError):
+        ct.explode_notion_zip(mixed)
+
+
+def test_notion_flat_and_nested_converge():
+    from jimmy_ray.sources import containers as ct
+
+    flat = ct.explode_notion_zip(ct.synth_notion_zip(3, "t"))   # nested
+    nested = ct.explode_notion_zip(ct.synth_notion_zip(6, "t"))  # flat (6%3==0)
+    assert [m for m, _ in flat] == ["page 3-0.md", "page 3-1.md"]
+    assert [m for m, _ in nested] == ["page 6-0.md", "page 6-1.md"]
+    # __MACOSX dropped in both container shapes (notion.py:44-45)
+    assert all("__MACOSX" not in m for m, _ in flat + nested)
+
+
+def test_facebook_skip_rules_and_mojibake():
+    from jimmy_ray.sources import containers as ct
+
+    rows = ct.parse_facebook_posts(ct.synth_facebook_posts(5, "grüße 你好"))
+    assert len(rows) == 1  # titled + empty posts skipped (facebook.py:95-108)
+    assert rows[0]["body"] == "grüße 你好"  # mojibake inverted
+    assert rows[0]["updated_ms"] == rows[0]["created_ms"] + 60_000
