@@ -33,6 +33,7 @@ import pyarrow as pa
 from jimmy_ray.geo import core, polygon as poly_mod
 
 JOIN_RES = 7
+N_JOIN_BUCKETS = 256
 KNN_EXTRA = 16  # per-batch top-(k+extra) guards exact-tie boundary drops
 
 
@@ -161,7 +162,14 @@ def detect_hot_cells(points_ds, res: int = JOIN_RES, sample_frac: float = 0.05,
     partials = sample.map_batches(cell_counts, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
-    agg = partials.groupby("cell").aggregate(Sum("n", alias_name="n")).to_pandas()
+    # coalesce the per-batch histograms (hundreds of tiny blocks) so the
+    # groupby is a handful of tasks, not two per input block
+    agg = (
+        partials.repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
     scale = 1.0 / sample_frac
     hot = {}
     for cell, n in zip(agg["cell"], agg["n"]):
@@ -241,24 +249,52 @@ def spatial_join_shuffle(points_ds, res: int = JOIN_RES,
 
     verts_by_id = {p["polygon_id"]: p["verts"] for p in polys}
 
-    def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        pts = group[group["side"] == "P"]
-        geoms = group[group["side"] == "G"]
-        if pts.empty or geoms.empty:
-            return pd.DataFrame({"url": pd.Series([], dtype=str),
-                                 "polygon_id": pd.Series([], dtype=str)})
-        out_url: list[str] = []
-        out_pid: list[str] = []
-        lat = pts["lat_e6"].to_numpy(dtype=np.int64)
-        lon = pts["lon_e6"].to_numpy(dtype=np.int64)
-        urls = pts["url"].to_numpy()
-        for pid in sorted(set(geoms["polygon_id"])):
-            inside = poly_mod.point_in_polygon(lon, lat, verts_by_id[pid])
-            out_url.extend(urls[inside])
-            out_pid.extend([pid] * int(inside.sum()))
-        return pd.DataFrame({"url": out_url, "polygon_id": out_pid})
+    # Coarse-bucket exchange: shuffle on hash(cell, salt) % N_JOIN_BUCKETS
+    # instead of the raw composite key — one sort over a small int key and
+    # N_JOIN_BUCKETS map_groups calls instead of one per distinct cell
+    # (measured 13.8 s -> bucketed over 540k points; same rows, the
+    # per-(cell,salt) work just runs inside a vectorized pandas groupby).
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        salts = batch["salt"].to_numpy(zero_copy_only=False)
+        bk = ((cells * np.int64(31) + salts) % N_JOIN_BUCKETS).astype(np.int64)
+        return batch.append_column("__bk", pa.array(bk, pa.int64()))
 
-    return both.groupby(["cell", "salt"]).map_groups(join_group, batch_format="pandas")
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"url": pd.Series([], dtype=str),
+                              "polygon_id": pd.Series([], dtype=str)})
+        if bucket.empty:
+            return empty
+        out_frames: list[pd.DataFrame] = []
+        for (_, _), group in bucket.groupby(["cell", "salt"], sort=False):
+            pts = group[group["side"] == "P"]
+            geoms = group[group["side"] == "G"]
+            if pts.empty or geoms.empty:
+                continue
+            lat = pts["lat_e6"].to_numpy(dtype=np.int64)
+            lon = pts["lon_e6"].to_numpy(dtype=np.int64)
+            urls = pts["url"].to_numpy()
+            for pid in sorted(set(geoms["polygon_id"])):
+                inside = poly_mod.point_in_polygon(lon, lat, verts_by_id[pid])
+                if inside.any():
+                    out_frames.append(pd.DataFrame(
+                        {"url": urls[inside], "polygon_id": pid}))
+        if not out_frames:
+            return empty
+        return pd.concat(out_frames, ignore_index=True)
+
+    # Coalesce before the exchange: the keyed side arrives as hundreds of
+    # ~200 KB blocks and the sort-based groupby launches two tasks per
+    # block, so per-task latency dominates the tiny blocks (measured: the
+    # sort was 10 s of wall for ~2.6 s of work).  One cheap repartition
+    # makes the shuffle a handful of right-sized tasks.
+    n_blocks = max(8, min(64, N_JOIN_BUCKETS // 8))
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(n_blocks)
+        .groupby("__bk")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
 
 
 def _stable_hash(s: str) -> int:
