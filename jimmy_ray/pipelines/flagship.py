@@ -62,12 +62,33 @@ def knn(sf_dir: str, n_queries: int = 50, concurrency=(1, 4)):
 
 
 def tile_counts(sf_dir: str, zoom: int = 10):
-    from ray.data.aggregate import Count
+    """Per-tile page counts with a per-batch combiner: the shuffle moves
+    one row per (tile, block), never per page (A1 partial-agg shape)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from jimmy_ray.geo import core as geo_core
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tiles = geo_core.tile_id(
+            batch["lat_e6"].to_numpy(zero_copy_only=False),
+            batch["lon_e6"].to_numpy(zero_copy_only=False),
+            zoom,
+        )
+        uniq, counts = np.unique(tiles, return_counts=True)
+        return pa.table({
+            f"tile_z{zoom}": pa.array(uniq, pa.int64()),
+            "p_n": pa.array(counts, pa.int64()),
+        })
 
     return (
-        tile_assignments(sf_dir)
+        geo_points(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .repartition(8)
         .groupby(f"tile_z{zoom}")
-        .aggregate(Count(alias_name="n_pages"))
+        .aggregate(Sum("p_n", alias_name="n_pages"))
     )
 
 

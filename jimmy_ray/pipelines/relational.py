@@ -48,7 +48,7 @@ def lineitem_agg(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return (
-        partials.groupby(["l_returnflag", "l_linestatus"])
+        partials.repartition(8).groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("p_qty", alias_name="sum_qty"),
             Sum("p_cents", alias_name="sum_price_cents"),
@@ -86,7 +86,7 @@ def orders_join(sf_dir: str):
         return g
 
     partials = ds.map_batches(join_and_partial, batch_format="pandas", batch_size=65536)
-    return partials.groupby("nation").aggregate(
+    return partials.repartition(8).groupby("nation").aggregate(
         Sum("p_n", alias_name="n_orders"), Sum("p_cents", alias_name="total_cents")
     )
 
@@ -129,7 +129,7 @@ def lineitem_orders_join(sf_dir: str, num_partitions: int = 16):
         )
         return g.rename_columns(["o_orderpriority", "p_cents", "p_n"])
 
-    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+    return joined.map_batches(partial, batch_format="pyarrow").repartition(8).groupby(
         "o_orderpriority"
     ).aggregate(
         Sum("p_cents", alias_name="revenue_cents"),

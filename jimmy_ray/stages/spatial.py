@@ -527,6 +527,7 @@ def rasterize_tiles(points_ds, zoom: int = 10):
 
     exploded = (
         points_ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .repartition(8)  # tiny per-batch histograms -> few shuffle tasks
         .groupby("tile_sub")
         .aggregate(Sum("p_n", alias_name="n_points"))
     )
@@ -588,6 +589,7 @@ def raster_tiles_exploded(points_ds, zoom: int = 10):
 
     agg = (
         points_ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .repartition(8)
         .groupby("tile_sub")
         .aggregate(Sum("p_n", alias_name="n_points"))
     )
@@ -666,4 +668,10 @@ def knn_finalize(candidates_ds, k_by_qid: dict[str, int]):
         g["dist_m"] = g["dist_m"].round(3)
         return g[["qid", "url", "rank", "dist_m"]]
 
-    return candidates_ds.groupby("qid").map_groups(topk, batch_format="pandas")
+    # candidates are (k+extra)·Q rows per input block — hundreds of tiny
+    # blocks; coalesce so the merge groupby is a few tasks, not 2/block
+    return (
+        candidates_ds.repartition(8)
+        .groupby("qid")
+        .map_groups(topk, batch_format="pandas")
+    )

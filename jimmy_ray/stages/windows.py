@@ -47,7 +47,7 @@ def tumbling_window(sf_dir: str, window_ms: int = TUMBLE_MS):
         return g.rename_columns(["user_id", "window_ms", "p_sum", "p_n"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return partials.groupby(["user_id", "window_ms"]).aggregate(
+    return partials.repartition(8).groupby(["user_id", "window_ms"]).aggregate(
         Sum("p_sum", alias_name="sum_value_milli"),
         Sum("p_n", alias_name="n_events"),
     )
@@ -139,7 +139,7 @@ def sliding_window(sf_dir: str, window_ms: int = TUMBLE_MS,
         return g.rename_columns(["user_id", "window_start_ms", "p_n"])
 
     partials = ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
-    return partials.groupby(["user_id", "window_start_ms"]).aggregate(
+    return partials.repartition(8).groupby(["user_id", "window_start_ms"]).aggregate(
         Sum("p_n", alias_name="n_events")
     )
 
