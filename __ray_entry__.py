@@ -122,6 +122,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # composed curation chain: quality gate -> lang gate -> exact dedup
         "curate_corpus": textstats.curate_corpus,
+        # Gopher-style repetition quality signals (per-doc map)
+        "repetition_stats": textstats.repetition_stats,
+        # paragraph-level boilerplate removal (2-pass broadcast set)
+        "paragraph_dedup": lambda sf: __import__(
+            "jimmy_ray.functions.paradedup", fromlist=["x"]
+        ).paragraph_dedup(sf),
         # dedup family (A3 exact + near-dup scale ops)
         "doc_dedup_exact": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -488,6 +494,10 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": windows.sql_sliding_window(),
         "text_stats": textstats.sql_text_stats(),
         "curate_corpus": textstats.sql_curate_corpus(),
+        "repetition_stats": textstats.sql_repetition_stats(),
+        "paragraph_dedup": __import__(
+            "jimmy_ray.functions.paradedup", fromlist=["x"]
+        ).sql_paragraph_dedup(),
         "lang_id": textstats.sql_lang_id(),
         "doc_dedup_exact": (
             "SELECT md5(text) AS md5, MIN(doc_id) AS keep_doc_id, "

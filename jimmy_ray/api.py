@@ -169,3 +169,76 @@ def _media_features(concurrency=(1, 4)) -> StageDef:
 
     return StageDef(multimodal.MediaFeatureStage, batch_size=256,
                     concurrency=concurrency)
+
+
+@stage("subprocess_convert")
+def _subprocess_convert(concurrency=(1, 4), batch_size: int = 256) -> StageDef:
+    from jimmy_ray.stages import subproc
+
+    return StageDef(subproc.SubprocessConverterStage, batch_size=batch_size,
+                    concurrency=concurrency)
+
+
+@stage("decrypt")
+def _decrypt(password: str = "fixture-password",
+             concurrency=(1, 4)) -> StageDef:
+    from jimmy_ray.scalars import crypto
+
+    return StageDef(crypto.DecryptStage, batch_size=512,
+                    concurrency=concurrency,
+                    fn_constructor_kwargs={"password": password})
+
+
+@stage("filename_recovery")
+def _filename_recovery(inventory: list | None = None,
+                       concurrency=(1, 4)) -> StageDef:
+    from jimmy_ray.stages import filerecovery
+
+    return StageDef(filerecovery.FilenameRecoveryStage, batch_size=4096,
+                    concurrency=concurrency,
+                    fn_constructor_kwargs={"inventory": inventory or []})
+
+
+@stage("repetition_stats")
+def _repetition_stats() -> StageDef:
+    import pyarrow as _pa
+
+    from jimmy_ray.functions import textstats
+
+    def batch_fn(batch: _pa.Table) -> _pa.Table:
+        import collections
+        import re as _re
+
+        import numpy as _np
+
+        tok_re = _re.compile(textstats.TOKEN_RE)
+        top_n, tot_n = [], []
+        for text in batch["text"].to_pylist():
+            counts = collections.Counter(tok_re.findall(text.lower()))
+            top_n.append(max(counts.values()) if counts else 0)
+            tot_n.append(sum(counts.values()))
+        top = _np.array(top_n, dtype=_np.int64)
+        tot = _np.maximum(_np.array(tot_n, dtype=_np.int64), 1)
+        return batch.append_column(
+            "top_token_ratio",
+            _pa.array(top.astype(_np.float64) / tot.astype(_np.float64),
+                      _pa.float64()),
+        )
+
+    return StageDef(batch_fn, batch_size=2048)
+
+
+@stage("enex_to_markdown")
+def _enex_to_markdown(password: str | None = None) -> StageDef:
+    import pyarrow as _pa
+
+    from jimmy_ray.md.enex import enex_body_to_md
+
+    def batch_fn(batch: _pa.Table) -> _pa.Table:
+        texts = [enex_body_to_md(x, password)[0]
+                 for x in batch["content"].to_pylist()]
+        out = {n: batch[n] for n in batch.column_names}
+        out["text"] = _pa.array(texts, _pa.string())
+        return _pa.table(out)
+
+    return StageDef(batch_fn, batch_size=256)

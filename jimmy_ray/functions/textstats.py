@@ -367,3 +367,69 @@ SELECT fingerprint, MIN(doc_id) AS keep_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM gated GROUP BY fingerprint
 """
+
+
+# --- repetition stats (Gopher-style quality signals) -----------------------
+
+def repetition_stats(sf_dir: str):
+    """Per-doc repetition signals: most-frequent-token share and
+    duplicate-line share — the classic web-text quality gates that catch
+    keyword-stuffed / template pages.  Pure per-doc map (no shuffle)."""
+    import collections
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tok_re = __import__("re").compile(TOKEN_RE)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        top_n, tot_n, dup_lines, n_lines = [], [], [], []
+        for text in batch["text"].to_pylist():
+            toks = tok_re.findall(text.lower())
+            counts = collections.Counter(toks)
+            top_n.append(max(counts.values()) if counts else 0)
+            tot_n.append(len(toks))
+            lines = text.split("\n")
+            n_lines.append(len(lines))
+            dup_lines.append(len(lines) - len(set(lines)))
+        top = np.array(top_n, dtype=np.int64)
+        tot = np.array(tot_n, dtype=np.int64)
+        ratio = top.astype(np.float64) / np.maximum(tot, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "top_token_n": pa.array(top, pa.int64()),
+            "n_tokens": pa.array(tot, pa.int64()),
+            "top_token_ratio": pa.array(ratio, pa.float64()),
+            "n_dup_lines": pa.array(np.array(dup_lines, np.int64), pa.int64()),
+            "n_lines": pa.array(np.array(n_lines, np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=2048)
+
+
+def sql_repetition_stats() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t
+  FROM documents
+),
+cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY 1),
+lines AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(string_split(text, chr(10)))
+           - len(list_distinct(string_split(text, chr(10)))) AS n_dup
+  FROM documents
+)
+SELECT d.doc_id AS doc_id,
+  CAST(coalesce(a.mx, 0) AS BIGINT) AS top_token_n,
+  CAST(coalesce(a.tot, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(a.mx, 0) AS DOUBLE)
+    / CAST(greatest(coalesce(a.tot, 0), 1) AS DOUBLE) AS top_token_ratio,
+  CAST(l.n_dup AS BIGINT) AS n_dup_lines,
+  CAST(l.n_lines AS BIGINT) AS n_lines
+FROM documents d
+LEFT JOIN agg a USING (doc_id) JOIN lines l ON l.doc_id = d.doc_id
+"""
