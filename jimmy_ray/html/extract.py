@@ -111,14 +111,14 @@ class _TreeBuilder(HTMLParser):
 # by construction; a differential test asserts it on every fixture page.
 
 _TOKEN_RE = re.compile(
-    r"<!--.*?-->"                      # comments
+    r"<([a-zA-Z][-\w.:]*)"             # start tag     -> group 1
+    r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs -> 2
+    r"\s*(/?)>"                        # self-closing  -> group 3
+    r"|</([a-zA-Z][-\w.:]*)\s*>"       # end tag       -> group 4
+    r"|<!--.*?-->"                     # comments
     r"|<!\[CDATA\[.*?\]\]>"            # CDATA (fallback trigger below)
     r"|<![^>]*>"                       # doctype / declarations
-    r"|<\?[^>]*>"                      # processing instructions
-    r"|</([a-zA-Z][-\w.:]*)\s*>"       # end tag       -> group 1
-    r"|<([a-zA-Z][-\w.:]*)"            # start tag     -> group 2
-    r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs -> 3
-    r"\s*(/?)>",                       # self-closing  -> group 4
+    r"|<\?[^>]*>",                     # processing instructions
     re.S,
 )
 _ATTR_RE = re.compile(
@@ -138,8 +138,9 @@ def _fast_parse(html: str) -> _Node | None:
     tags_seen: set[str] = set()
     pos = 0
     for m in _TOKEN_RE.finditer(html):
-        if m.start() > pos:
-            text = html[pos : m.start()]
+        start = m.start()
+        if start > pos:
+            text = html[pos:start]
             if "<" in text:
                 return None  # stray '<' — html.parser has subtler rules
             if text:
@@ -147,24 +148,24 @@ def _fast_parse(html: str) -> _Node | None:
                     unescape(text) if "&" in text else text
                 )
         pos = m.end()
-        end_tag, start_tag = m.group(1), m.group(2)
+        start_tag, raw_attrs, selfclose, end_tag = m.groups()
         if start_tag is not None:
             tag = start_tag.lower()
             tags_seen.add(tag)
-            raw_attrs = m.group(3)
             attrs: dict[str, str] = {}
             if raw_attrs:
                 for am in _ATTR_RE.finditer(raw_attrs):
-                    value = next(
-                        (g for g in am.group(2, 3, 4) if g is not None), None
+                    name, v1, v2, v3 = am.groups()
+                    value = v1 if v1 is not None else (
+                        v2 if v2 is not None else v3
                     )
                     # bare attributes stay None, matching html.parser
                     if value is not None and "&" in value:
                         value = unescape(value)
-                    attrs[am.group(1).lower()] = value
+                    attrs[name.lower()] = value
             node = _Node(tag, attrs)
             stack[-1].children.append(node)
-            if not m.group(4) and tag not in _VOID_TAGS:
+            if not selfclose and tag not in _VOID_TAGS:
                 stack.append(node)
         elif end_tag is not None:
             tag = end_tag.lower()
