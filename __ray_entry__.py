@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).heavy_hitter_tokens(sf),
         # multimodal plumbing (stubbed codec, real Ray-side pipeline)
         "multimodal_features": multimodal.media_features,
+        # real image-decode tier (pure-numpy PPM: decode + channel sums)
+        "image_features": multimodal.image_features,
         # note-pipeline stages (M12-M22, F1/F2, J1)
         "extract_links": notes.extract_links,
         "inline_tags": notes.inline_tags,
@@ -506,4 +508,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(),
         "ann_topk": simsearch.sql_ann_topk(),
         "multimodal_features": multimodal.sql_media_features(),
+        "image_features": multimodal.sql_image_features(),
     }

@@ -127,3 +127,139 @@ def sql_media_features() -> str:
         "FALSE AS decoded "
         "FROM documents"
     )
+
+
+# --- real codec path: PPM (Netpbm P6, public spec, pure numpy) -------------
+#
+# The brief's stub rule covers formats needing external libs (JPEG/PNG/
+# audio). PPM is trivially decodable from the public spec, so this tier
+# is a REAL decode → feature-extract → resize pipeline over binary image
+# columns, with exact integer channel sums the DuckDB oracle recomputes
+# from the synthesis formula.
+
+PPM_MAX_H = 36  # synth dims: H = 24 + doc_id % 13, W = 32 + doc_id % 17
+PPM_MAX_W = 48
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 image: channel c at (r, x) = (doc_id + a·r + b·x) % 256."""
+    h = 24 + doc_id % 13
+    w = 32 + doc_id % 17
+    r = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    img = np.stack([
+        (doc_id + r + x) % 256,          # R
+        (doc_id + 2 * r + x) % 256,      # G
+        (doc_id + r + 2 * x) % 256,      # B
+    ], axis=2).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real decode of binary P6 (raw RGB) — (H, W, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts: list[bytes] = []
+    pos = 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(payload[start:pos])
+    w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # single whitespace after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Integer block-mean downsample (thumbnailing): output (out_h, out_w, 3)
+    uint8, each cell the floor-mean of its source block."""
+    h, w, _ = img.shape
+    row_edges = (np.arange(out_h + 1) * h) // out_h
+    col_edges = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    acc = img.astype(np.int64)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = acc[row_edges[i]:row_edges[i + 1],
+                        col_edges[j]:col_edges[j + 1]]
+            out[i, j] = block.reshape(-1, 3).mean(axis=0).astype(np.uint8)
+    return out
+
+
+class PpmFeatureStage:
+    """Actor-pool stage: real decode + exact channel sums + thumbnail."""
+
+    def __init__(self, thumb: int = 4) -> None:
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heights, widths = [], []
+        sums = {"sum_r": [], "sum_g": [], "sum_b": []}
+        thumbs: list[bytes] = []
+        for payload in batch["payload"].to_pylist():
+            img = decode_ppm(payload)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            totals = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            sums["sum_r"].append(int(totals[0]))
+            sums["sum_g"].append(int(totals[1]))
+            sums["sum_b"].append(int(totals[2]))
+            thumbs.append(
+                resize_block_mean(img, self.thumb, self.thumb).tobytes()
+            )
+        out = {"doc_id": batch["doc_id"],
+               "height": pa.array(heights, pa.int64()),
+               "width": pa.array(widths, pa.int64())}
+        for k, v in sums.items():
+            out[k] = pa.array(v, pa.int64())
+        out["thumb"] = pa.array(thumbs, pa.binary())
+        return pa.table(out)
+
+
+def image_features(sf_dir: str, concurrency=(1, 4)):
+    """documents -> synth P6 payloads -> real decode + features."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([synth_ppm(i) for i in ids], pa.binary()),
+        })
+
+    media = ds.map_batches(make, batch_format="pyarrow", batch_size=256)
+    features = media.map_batches(
+        PpmFeatureStage,
+        batch_format="pyarrow",
+        batch_size=128,  # wide binary payloads
+        concurrency=concurrency,
+    )
+    return features.select_columns(
+        ["doc_id", "height", "width", "sum_r", "sum_g", "sum_b"]
+    )
+
+
+def sql_image_features() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(24 + doc_id % 13 AS BIGINT) AS height,
+  CAST(32 + doc_id % 17 AS BIGINT) AS width,
+  CAST(SUM((doc_id + r + c) % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((doc_id + 2 * r + c) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((doc_id + r + 2 * c) % 256) AS BIGINT) AS sum_b
+FROM documents,
+     range({PPM_MAX_H + 1}) AS tr(r), range({PPM_MAX_W + 1}) AS tc(c)
+WHERE r < 24 + doc_id % 13 AND c < 32 + doc_id % 17
+GROUP BY doc_id
+"""

@@ -34,3 +34,27 @@ def test_subcell_range():
     lon = rng.integers(-180_000_000, 180_000_000, 5000)
     sub = sp.raster_subcell(lat, lon)
     assert (sub >= 0).all() and (sub < sp.RASTER_N ** 2).all()
+
+
+def test_ppm_decode_roundtrip_and_resize():
+    """Real codec tier: synth P6 -> decode -> exact pixels; block-mean
+    thumbnail shape + determinism; comment handling per the spec."""
+    import numpy as np
+
+    from jimmy_ray.stages import multimodal as mm
+
+    for doc_id in (0, 7, 123):
+        img = mm.decode_ppm(mm.synth_ppm(doc_id))
+        h, w = 24 + doc_id % 13, 32 + doc_id % 17
+        assert img.shape == (h, w, 3)
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        assert np.array_equal(img[:, :, 0], (doc_id + r + c) % 256)
+        assert np.array_equal(img[:, :, 1], (doc_id + 2 * r + c) % 256)
+        thumb = mm.resize_block_mean(img, 4, 4)
+        assert thumb.shape == (4, 4, 3)
+        assert np.array_equal(thumb, mm.resize_block_mean(img, 4, 4))
+    # header comments are skipped (Netpbm spec)
+    body = mm.synth_ppm(3)
+    commented = b"P6\n# a comment\n" + body[3:]
+    assert np.array_equal(mm.decode_ppm(commented), mm.decode_ppm(body))
