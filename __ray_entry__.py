@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal.media_features,
         # real image-decode tier (pure-numpy PPM: decode + channel sums)
         "image_features": multimodal.image_features,
+        # real audio decode (RIFF PCM16) + video frame sampling
+        "audio_features": multimodal.audio_features,
+        "video_frame_sample": multimodal.video_frame_sample,
         # note-pipeline stages (M12-M22, F1/F2, J1)
         "extract_links": notes.extract_links,
         "inline_tags": notes.inline_tags,
@@ -509,4 +512,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": simsearch.sql_ann_topk(),
         "multimodal_features": multimodal.sql_media_features(),
         "image_features": multimodal.sql_image_features(),
+        "audio_features": multimodal.sql_audio_features(),
+        "video_frame_sample": multimodal.sql_video_frame_sample(),
     }

@@ -263,3 +263,175 @@ FROM documents,
 WHERE r < 24 + doc_id % 13 AND c < 32 + doc_id % 17
 GROUP BY doc_id
 """
+
+
+# --- real audio path: WAV (RIFF PCM16, public spec, pure numpy) ------------
+
+WAV_RATE = 8000
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic PCM16 mono WAV: sample[i] = ((doc_id+1)*(i+1)) % 20011
+    - 10005 (integer triangle-ish signal, exactly SQL-recomputable)."""
+    import struct
+
+    n = 400 + doc_id % 101
+    i = np.arange(n, dtype=np.int64)
+    samples = (((doc_id + 1) * (i + 1)) % 20011 - 10005).astype(np.int16)
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
+                                WAV_RATE * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real decode of RIFF/WAVE PCM16 mono -> (samples int16, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif chunk_id == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt")
+            return np.frombuffer(body, dtype=np.int16), rate
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def audio_features(sf_dir: str):
+    """documents -> synth WAV -> real decode + exact integer features
+    (n_samples, sample_rate, abs-sum, peak)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(
+                [synth_wav(i) for i in batch["doc_id"].to_pylist()],
+                pa.binary(),
+            ),
+        })
+
+    def features(batch: pa.Table) -> pa.Table:
+        n_samples, rates, abs_sums, peaks = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            samples, rate = decode_wav(payload)
+            s = samples.astype(np.int64)
+            n_samples.append(len(s))
+            rates.append(rate)
+            abs_sums.append(int(np.abs(s).sum()))
+            peaks.append(int(np.abs(s).max()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_samples": pa.array(n_samples, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "abs_sum": pa.array(abs_sums, pa.int64()),
+            "peak": pa.array(peaks, pa.int64()),
+        })
+
+    return ds.map_batches(make, batch_format="pyarrow", batch_size=256) \
+             .map_batches(features, batch_format="pyarrow", batch_size=128)
+
+
+def sql_audio_features() -> str:
+    sample = "(((doc_id + 1) * (i + 1)) % 20011 - 10005)"
+    return f"""
+SELECT doc_id,
+  CAST(400 + doc_id % 101 AS BIGINT) AS n_samples,
+  CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+  CAST(SUM(abs({sample})) AS BIGINT) AS abs_sum,
+  CAST(MAX(abs({sample})) AS BIGINT) AS peak
+FROM documents, range(501) AS t(i)
+WHERE i < 400 + doc_id % 101
+GROUP BY doc_id
+"""
+
+
+# --- video-analog: frame container + every-k-th frame sampling -------------
+
+FRAME_STRIDE = 3
+
+
+def synth_video(doc_id: int, n_frames: int | None = None) -> bytes:
+    """Container = 4-byte frame count + length-prefixed P6 frames (frame f
+    reuses the PPM formula with doc_id+f)."""
+    import struct
+
+    if n_frames is None:
+        n_frames = 4 + doc_id % 5
+    out = [struct.pack("<I", n_frames)]
+    for f in range(n_frames):
+        frame = synth_ppm(doc_id + f)
+        out.append(struct.pack("<I", len(frame)))
+        out.append(frame)
+    return b"".join(out)
+
+
+def sample_frames(payload: bytes, stride: int = FRAME_STRIDE) -> list[np.ndarray]:
+    """Decode every stride-th frame (0, stride, 2·stride, ...) without
+    touching the skipped frames' pixel data (seek by length prefix)."""
+    import struct
+
+    (n_frames,) = struct.unpack("<I", payload[:4])
+    pos = 4
+    frames: list[np.ndarray] = []
+    for f in range(n_frames):
+        (size,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        if f % stride == 0:
+            frames.append(decode_ppm(payload[pos : pos + size]))
+        pos += size
+    return frames
+
+
+def video_frame_sample(sf_dir: str, stride: int = FRAME_STRIDE):
+    """documents -> synth video -> sampled-frame decode: one output row per
+    kept frame with exact channel sums (1:N flat map over binary rows)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fidx, sums = [], [], []
+        for doc_id in batch["doc_id"].to_pylist():
+            frames = sample_frames(synth_video(doc_id), stride)
+            for k, img in enumerate(frames):
+                ids.append(doc_id)
+                fidx.append(k * stride)
+                sums.append(int(img[:, :, 0].astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame": pa.array(fidx, pa.int64()),
+            "sum_r": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=128)
+
+
+def sql_video_frame_sample(stride: int = FRAME_STRIDE) -> str:
+    return f"""
+SELECT doc_id, f AS frame,
+  CAST(SUM((doc_id + f + r + c) % 256) AS BIGINT) AS sum_r
+FROM documents, range(9) AS tf(f),
+     range({PPM_MAX_H + 1}) AS tr(r), range({PPM_MAX_W + 1}) AS tc(c)
+WHERE f < 4 + doc_id % 5 AND f % {stride} = 0
+  AND r < 24 + (doc_id + f) % 13 AND c < 32 + (doc_id + f) % 17
+GROUP BY doc_id, f
+"""

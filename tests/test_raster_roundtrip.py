@@ -58,3 +58,31 @@ def test_ppm_decode_roundtrip_and_resize():
     body = mm.synth_ppm(3)
     commented = b"P6\n# a comment\n" + body[3:]
     assert np.array_equal(mm.decode_ppm(commented), mm.decode_ppm(body))
+
+
+def test_wav_decode_roundtrip():
+    import numpy as np
+
+    from jimmy_ray.stages import multimodal as mm
+
+    for doc_id in (0, 7, 100):
+        samples, rate = mm.decode_wav(mm.synth_wav(doc_id))
+        n = 400 + doc_id % 101
+        assert rate == mm.WAV_RATE and len(samples) == n
+        i = np.arange(n, dtype=np.int64)
+        want = (((doc_id + 1) * (i + 1)) % 20011 - 10005).astype(np.int16)
+        assert np.array_equal(samples, want)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_video_frame_sampling_skips_frames():
+    from jimmy_ray.stages import multimodal as mm
+
+    payload = mm.synth_video(2)  # 4 + 2%5 = 6 frames
+    frames = mm.sample_frames(payload, stride=3)
+    assert len(frames) == 2  # frames 0 and 3
+    assert frames[0].shape == (24 + 2 % 13, 32 + 2 % 17, 3)
+    assert frames[1].shape == (24 + 5 % 13, 32 + 5 % 17, 3)
