@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontmatter_futo": notes.frontmatter_futo,
         "template_apply": notes.template_apply,
         "filter_tags": notes.filter_tags,
+        "filter_notes_by_tag": notes.filter_notes_by_tag,
         "link_resolution": notes.link_resolution,
         "notebook_tree": notes.notebook_tree,
         "word_count": textstats.word_count,
@@ -200,6 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facebook_extract": lambda sf: __import__(
             "jimmy_ray.sources.containers", fromlist=["x"]
         ).facebook_extract(sf),
+        # UpNote gzipped-JSONL two-pass backup (upnote.py:104-180)
+        "upnote_extract": lambda sf: __import__(
+            "jimmy_ray.sources.upnote", fromlist=["x"]
+        ).upnote_extract(sf),
         "decrypt_notes": lambda sf: __import__(
             "jimmy_ray.scalars.crypto", fromlist=["x"]
         ).decrypt_notes(sf),
@@ -417,6 +422,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, 'tag' || CAST(doc_id AS VARCHAR) AS tag\n"
             "FROM pages WHERE v = 8"
         ),
+        "filter_notes_by_tag": (
+            f"{_PAGES_CTE}\n"
+            "SELECT url FROM pages WHERE v = 8\n"
+            "AND CAST(doc_id AS VARCHAR) LIKE '1%'\n"
+            "AND CAST(doc_id AS VARCHAR) NOT LIKE '19%'"
+        ),
         "notebook_tree": (
             f"{_PAGES_CTE}\n"
             "SELECT source || '/nb' || CAST(doc_id % 10 AS VARCHAR) AS path_str,\n"
@@ -469,6 +480,9 @@ def oracle_sql() -> dict[str, str]:
         "facebook_extract": __import__(
             "jimmy_ray.sources.containers", fromlist=["x"]
         ).sql_facebook_extract(),
+        "upnote_extract": __import__(
+            "jimmy_ray.sources.upnote", fromlist=["x"]
+        ).sql_upnote_extract(),
         "decrypt_notes": "SELECT doc_id, text FROM documents",
         "sqlite_notes": (
             "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "

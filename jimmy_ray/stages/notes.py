@@ -326,3 +326,32 @@ def event_ts_ms(sf_dir: str):
                          "ts_ms": dates.timestamp_col_to_ms(batch["ts"])})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def filter_notes_by_tag(sf_dir: str, include: tuple[str, ...] = ("tag1*",),
+                        exclude: tuple[str, ...] = ("tag19*",)):
+    """Note-level include/exclude by tag glob (F2, filters.py:24-37):
+    a note survives if ANY of its tags matches an include glob and NONE
+    matches an exclude glob — a semi-join then anti-join against the
+    exploded tag table, folded per note inside one vectorized pass."""
+    import fnmatch as _fn
+    import re as _re
+
+    import pandas as pd
+
+    inc = _re.compile("|".join(_fn.translate(g) for g in include))
+    exc = _re.compile("|".join(_fn.translate(g) for g in exclude))
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["inc"] = batch["tag"].map(lambda t: bool(inc.match(t)))
+        batch["exc"] = batch["tag"].map(lambda t: bool(exc.match(t)))
+        g = batch.groupby("url", as_index=False).agg(
+            any_inc=("inc", "any"), any_exc=("exc", "any")
+        )
+        keep = g[g["any_inc"] & ~g["any_exc"]]
+        return keep[["url"]]
+
+    # per-batch fold is exact here because inline_tags emits one block of
+    # tags per page batch (all tags of a url stay in one batch); a
+    # cross-batch tag layout would need a groupby(url) first
+    return inline_tags(sf_dir).map_batches(fold, batch_format="pandas")
