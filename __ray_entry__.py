@@ -205,6 +205,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upnote_extract": lambda sf: __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).upnote_extract(sf),
+        # Anki collection sqlite: models/decks JSON + \\x1f field split (S7)
+        "anki_extract": lambda sf: __import__(
+            "jimmy_ray.sources.anki", fromlist=["x"]
+        ).anki_extract(sf),
+        # WordPress WXR: namespaced XML + markup body conversion (S9)
+        "wordpress_extract": lambda sf: __import__(
+            "jimmy_ray.sources.wordpress", fromlist=["x"]
+        ).wordpress_extract(sf),
         "decrypt_notes": lambda sf: __import__(
             "jimmy_ray.scalars.crypto", fromlist=["x"]
         ).decrypt_notes(sf),
@@ -483,6 +491,12 @@ def oracle_sql() -> dict[str, str]:
         "upnote_extract": __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).sql_upnote_extract(),
+        "anki_extract": __import__(
+            "jimmy_ray.sources.anki", fromlist=["x"]
+        ).sql_anki_extract(),
+        "wordpress_extract": __import__(
+            "jimmy_ray.sources.wordpress", fromlist=["x"]
+        ).sql_wordpress_extract(),
         "decrypt_notes": "SELECT doc_id, text FROM documents",
         "sqlite_notes": (
             "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "

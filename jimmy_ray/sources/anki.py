@@ -1,0 +1,143 @@
+"""Anki collection reader: multi-table SQLite + field-separated notes (S7).
+
+The reference opens ``collection.anki2``, reads models/decks JSON out of
+the ``col`` row, builds the cards' note→deck map, then walks ``notes``
+splitting the ``flds`` blob on ``\\x1f`` into model-named fields and
+renders ``- name: value`` lines with an HTML-remnant cleanup
+(/root/reference/src/jimmy/formats/anki.py:36-157).
+
+Ray-shaped like the S7 pattern: the driver reads the (unshardable)
+sqlite file into Arrow once; the per-note conversion — field split,
+template naming, cleanup, tag split, deck join — runs distributed.  The
+fixture database derives from ``documents`` with a DuckDB SQL mirror.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+import pandas as pd
+import pyarrow as pa
+
+FIELD_SEP = "\x1f"
+MODEL_ID = "1000"
+FIELD_NAMES = ("Front", "Back")
+
+
+def _fixture_db(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db = f"/tmp/jimmy_ray_anki_{tag}.anki2"
+    if os.path.exists(db):
+        return db
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tmp = db + f".tmp.{os.getpid()}"
+    con = sqlite3.connect(tmp)
+    con.execute("CREATE TABLE col (ver INTEGER, models TEXT, decks TEXT)")
+    models = {MODEL_ID: {"flds": [{"name": n} for n in FIELD_NAMES]}}
+    decks = {str(100 + d): {"name": f"deck {d}"} for d in range(5)}
+    con.execute("INSERT INTO col VALUES (?, ?, ?)",
+                (11, json.dumps(models), json.dumps(decks)))
+    con.execute("CREATE TABLE cards (nid INTEGER, did INTEGER)")
+    con.execute("CREATE TABLE notes (id INTEGER, guid TEXT, mid INTEGER, "
+                "mod INTEGER, tags TEXT, flds TEXT)")
+    for doc_id, text in zip(docs["doc_id"].to_pylist(),
+                            docs["text"].to_pylist()):
+        con.execute("INSERT INTO cards VALUES (?, ?)",
+                    (doc_id, 100 + doc_id % 5))
+        flds = FIELD_SEP.join([
+            f"front {doc_id}<br>\n&nbsp;<div>x</div>",  # cleanup branches
+            text,
+        ])
+        con.execute(
+            "INSERT INTO notes VALUES (?, ?, ?, ?, ?, ?)",
+            (doc_id, f"g{doc_id}", int(MODEL_ID), 0,
+             f" t{doc_id % 3} shared ", flds),
+        )
+    con.commit()
+    con.close()
+    os.replace(tmp, db)
+    return db
+
+
+def _cleanup(body: str) -> str:
+    """anki.py:141-147 HTML-remnant scrub."""
+    return (
+        body.replace("<br>\n", "\n").replace("&nbsp;", " ")
+        .replace("<div>", "").replace("</div>", "")
+    )
+
+
+def anki_extract(sf_dir: str):
+    """collection db -> distributed per-note conversion."""
+    import ray.data as rd
+
+    db = _fixture_db(sf_dir)
+    con = sqlite3.connect(db)
+    try:
+        ver, models_json, decks_json = con.execute(
+            "SELECT ver, models, decks FROM col"
+        ).fetchone()
+        if ver != 11:
+            raise ValueError(f"untested collection version {ver}")
+        models = json.loads(models_json)
+        decks = json.loads(decks_json)
+        note_deck = dict(con.execute("SELECT nid, did FROM cards"))
+        rows = con.execute(
+            "SELECT id, mid, tags, flds FROM notes ORDER BY id"
+        ).fetchall()
+    finally:
+        con.close()
+
+    table = pa.table({
+        "note_index": pa.array(range(len(rows)), pa.int64()),
+        "note_id": pa.array([r[0] for r in rows], pa.int64()),
+        "mid": pa.array([str(r[1]) for r in rows], pa.string()),
+        "tags": pa.array([r[2] for r in rows], pa.string()),
+        "flds": pa.array([r[3] for r in rows], pa.string()),
+    })
+    ds = rd.from_arrow(table)
+
+    def convert(batch: pd.DataFrame) -> pd.DataFrame:
+        titles, bodies, deck_names, tag_cols = [], [], [], []
+        for _, row in batch.iterrows():
+            field_names = [f["name"] for f in models[row["mid"]]["flds"]]
+            values = row["flds"].split(FIELD_SEP)
+            body = "\n".join(
+                f"- {k}: {v}" for k, v in zip(field_names, values, strict=True)
+            )
+            titles.append(f"note_{int(row['note_index']):010}")
+            bodies.append(_cleanup(body))
+            deck_names.append(
+                decks[str(note_deck[int(row["note_id"])])]["name"]
+            )
+            tag_cols.append(
+                ",".join(t for t in row["tags"].strip().split(" ") if t)
+            )
+        return pd.DataFrame({
+            "doc_id": batch["note_id"].astype("int64"),
+            "title": titles,
+            "body": bodies,
+            "deck": deck_names,
+            "tags": tag_cols,
+        })
+
+    return ds.map_batches(convert, batch_format="pandas", batch_size=512)
+
+
+def sql_anki_extract() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    return f"""
+SELECT doc_id,
+  'note_' || lpad(CAST(row_number() OVER (ORDER BY doc_id) - 1 AS VARCHAR),
+                  10, '0') AS title,
+  '- Front: front ' || {i} || chr(10) || ' x' || chr(10)
+    || '- Back: ' || text AS body,
+  'deck ' || CAST(doc_id % 5 AS VARCHAR) AS deck,
+  't' || CAST(doc_id % 3 AS VARCHAR) || ',shared' AS tags
+FROM documents
+"""
