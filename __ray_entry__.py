@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upnote_extract": lambda sf: __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).upnote_extract(sf),
+        # ColorNote encrypted chunk stream (AES + framing, colornote.py:126)
+        "colornote_extract": lambda sf: __import__(
+            "jimmy_ray.sources.colornote", fromlist=["x"]
+        ).colornote_extract(sf),
         # Anki collection sqlite: models/decks JSON + \\x1f field split (S7)
         "anki_extract": lambda sf: __import__(
             "jimmy_ray.sources.anki", fromlist=["x"]
@@ -491,6 +495,9 @@ def oracle_sql() -> dict[str, str]:
         "upnote_extract": __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).sql_upnote_extract(),
+        "colornote_extract": __import__(
+            "jimmy_ray.sources.colornote", fromlist=["x"]
+        ).sql_colornote_extract(),
         "anki_extract": __import__(
             "jimmy_ray.sources.anki", fromlist=["x"]
         ).sql_anki_extract(),

@@ -78,3 +78,29 @@ def test_facebook_skip_rules_and_mojibake():
     assert len(rows) == 1  # titled + empty posts skipped (facebook.py:95-108)
     assert rows[0]["body"] == "grüße 你好"  # mojibake inverted
     assert rows[0]["updated_ms"] == rows[0]["created_ms"] + 60_000
+
+
+def test_colornote_skip_rules_and_wrong_password():
+    import pytest
+
+    from jimmy_ray.sources import colornote as cn
+
+    # doc 5: settings + empty chunks present, both skipped
+    rows = cn.parse_backup(cn.synth_backup(5, "body"))
+    assert len(rows) == 1 and rows[0]["title"] == "Doc 5"
+    assert rows[0]["body"] == "- [x] done 5\n- [ ] body"
+    # wrong password -> PKCS7 unpad fails (colornote.py:45-54 error path)
+    with pytest.raises(ValueError):
+        cn.parse_backup(cn.synth_backup(5, "body"), password="wrong")
+
+
+def test_colornote_routing_precedence():
+    from jimmy_ray.sources import colornote as cn
+
+    # doc 20: calendar (folder 16) AND archive (space 16) -> space wins
+    rows = cn.parse_backup(cn.synth_backup(20, "x"))
+    assert rows[0]["notebook"] == "archive"
+    # doc 12: calendar only; title becomes the reminder date
+    rows = cn.parse_backup(cn.synth_backup(12, "x"))
+    assert rows[0]["notebook"] == "calendar"
+    assert rows[0]["title"].count("-") == 2
