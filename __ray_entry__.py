@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upnote_extract": lambda sf: __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).upnote_extract(sf),
+        # Joplin JEX tar container with id-linked items (joplin.py:100-180)
+        "joplin_extract": lambda sf: __import__(
+            "jimmy_ray.sources.joplin", fromlist=["x"]
+        ).joplin_extract(sf),
         # ColorNote encrypted chunk stream (AES + framing, colornote.py:126)
         "colornote_extract": lambda sf: __import__(
             "jimmy_ray.sources.colornote", fromlist=["x"]
@@ -495,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
         "upnote_extract": __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).sql_upnote_extract(),
+        "joplin_extract": __import__(
+            "jimmy_ray.sources.joplin", fromlist=["x"]
+        ).sql_joplin_extract(),
         "colornote_extract": __import__(
             "jimmy_ray.sources.colornote", fromlist=["x"]
         ).sql_colornote_extract(),
