@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": textstats.curate_corpus,
         # Gopher-style repetition quality signals (per-doc map)
         "repetition_stats": textstats.repetition_stats,
+        # BPE-ish pre-tokenizer counts (training-cost metric)
+        "bpe_token_count": textstats.bpe_token_count,
         # paragraph-level boilerplate removal (2-pass broadcast set)
         "paragraph_dedup": lambda sf: __import__(
             "jimmy_ray.functions.paradedup", fromlist=["x"]
@@ -205,6 +207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upnote_extract": lambda sf: __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).upnote_extract(sf),
+        # PDF text extraction, uncompressed subset (S4; converter.py:295)
+        "pdf_extract": lambda sf: __import__(
+            "jimmy_ray.sources.pdf", fromlist=["x"]
+        ).pdf_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -499,6 +505,9 @@ def oracle_sql() -> dict[str, str]:
         "upnote_extract": __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).sql_upnote_extract(),
+        "pdf_extract": __import__(
+            "jimmy_ray.sources.pdf", fromlist=["x"]
+        ).sql_pdf_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),
@@ -542,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": textstats.sql_text_stats(),
         "curate_corpus": textstats.sql_curate_corpus(),
         "repetition_stats": textstats.sql_repetition_stats(),
+        "bpe_token_count": textstats.sql_bpe_token_count(),
         "paragraph_dedup": __import__(
             "jimmy_ray.functions.paradedup", fromlist=["x"]
         ).sql_paragraph_dedup(),

@@ -433,3 +433,48 @@ SELECT d.doc_id AS doc_id,
 FROM documents d
 LEFT JOIN agg a USING (doc_id) JOIN lines l ON l.doc_id = d.doc_id
 """
+
+
+# --- BPE-ish token counting ------------------------------------------------
+
+# GPT-2-style pre-tokenizer, ASCII-restricted so Python re and DuckDB RE2
+# agree byte-for-byte (\p{L} classes differ between the engines).
+BPE_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+|[ \\t\\n]+"
+)
+
+
+def bpe_token_count(sf_dir: str):
+    """Per-doc pre-tokenizer counts (the training-data cost metric):
+    n_bpe_tokens plus the whitespace-word count for comparison."""
+    import re as _re
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pat = _re.compile(BPE_RE)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n_bpe, n_ws = [], []
+        for text in batch["text"].to_pylist():
+            n_bpe.append(len(pat.findall(text)))
+            n_ws.append(len(text.split()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "n_ws_tokens": pa.array(n_ws, pa.int64()),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow", batch_size=4096)
+
+
+def sql_bpe_token_count() -> str:
+    pat = BPE_RE.replace("\\t", "\\t").replace("'", "''")
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '[^ \\t\\n]+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""

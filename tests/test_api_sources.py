@@ -160,3 +160,20 @@ def test_subprocess_stage_dead_letters_and_restarts():
     stage.proc.wait()
     out2 = stage(batch)
     assert out2["text"].to_pylist() == ["one", "two"]
+
+
+def test_pdf_extract_subset():
+    """S4 real-subset: escapes, TJ arrays, Td newlines; /Filter raises."""
+    import pytest
+
+    from jimmy_ray.sources.pdf import extract_pdf_text, synth_pdf
+
+    got = extract_pdf_text(synth_pdf(7, "with (parens) and \\slash"))
+    assert got == "Doc 7\nwith (parens) and \\slash\ntail 7"
+    # octal escape per the PDF spec
+    pdf = synth_pdf(1, "x").replace(b"(x)", b"(\\101\\102)")
+    assert "AB" in extract_pdf_text(pdf)
+    compressed = synth_pdf(1, "x").replace(
+        b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(compressed)
