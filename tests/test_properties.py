@@ -99,3 +99,68 @@ def test_extraction_dead_letter_rows():
     # garbage decodes with replacement chars; either clean or dead-lettered
     errs = out["error"].to_pylist()
     assert errs[0] is None
+
+
+# --- round-2 pure-function properties --------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=200), st.binary(min_size=16, max_size=16))
+def test_aes_cbc_roundtrip_property(data, key):
+    from jimmy_ray.scalars import aes
+
+    iv = bytes(range(16))
+    ct = aes.cbc_encrypt_many([data], key, [iv])[0]
+    assert aes.cbc_decrypt_many([ct], key, [iv]) == [data]
+    assert len(ct) % 16 == 0 and len(ct) >= len(data)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(min_size=0, max_size=120))
+def test_pdf_escape_roundtrip_property(text):
+    from jimmy_ray.sources.pdf import extract_pdf_text, synth_pdf
+
+    # synth embeds the text escaped; extraction must invert exactly unless
+    # the text itself contains the line separator
+    if "\n" in text:
+        return
+    got = extract_pdf_text(synth_pdf(3, text))
+    if text == "":
+        assert got == "Doc 3\ntail 3"  # empty show-text emits no line
+    else:
+        assert got == f"Doc 3\n{text}\ntail 3"
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_ppm_wav_decode_total(doc_id):
+    import numpy as np
+
+    from jimmy_ray.stages import multimodal as mm
+
+    img = mm.decode_ppm(mm.synth_ppm(doc_id))
+    assert img.shape == (24 + doc_id % 13, 32 + doc_id % 17, 3)
+    samples, rate = mm.decode_wav(mm.synth_wav(doc_id))
+    assert rate == mm.WAV_RATE
+    assert np.abs(samples.astype(np.int64)).max() <= 10005
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               min_size=0, max_size=300))
+def test_fast_parse_never_diverges_from_htmlparser(text):
+    """Whatever data lands in a <p>, fast parse either matches html.parser
+    or falls back to it — extraction output is identical either way."""
+    import html as html_mod
+
+    from jimmy_ray.html import extract as hx
+
+    doc = f"<html><body><p>{html_mod.escape(text)}</p></body></html>"
+    via_parse_dom = hx.html_to_markdown(doc)
+    b = hx._TreeBuilder()
+    b.feed(doc)
+    b.root.attrs["#tags"] = b.tags_seen
+    hx.apply_default_filters(b.root)
+    body = hx._find(b.root, "body")
+    out: list[str] = []
+    hx._render_blocks(body.children, out)
+    assert via_parse_dom == "\n\n".join(out).strip()
