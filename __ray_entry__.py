@@ -207,6 +207,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upnote_extract": lambda sf: __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).upnote_extract(sf),
+        # RedNotebook YAML month->day explode + Roam outline walker (S8)
+        "rednotebook_extract": lambda sf: __import__(
+            "jimmy_ray.sources.journals", fromlist=["x"]
+        ).rednotebook_extract(sf),
+        "roam_extract": lambda sf: __import__(
+            "jimmy_ray.sources.journals", fromlist=["x"]
+        ).roam_extract(sf),
         # PDF text extraction, uncompressed subset (S4; converter.py:295)
         "pdf_extract": lambda sf: __import__(
             "jimmy_ray.sources.pdf", fromlist=["x"]
@@ -505,6 +512,12 @@ def oracle_sql() -> dict[str, str]:
         "upnote_extract": __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).sql_upnote_extract(),
+        "rednotebook_extract": __import__(
+            "jimmy_ray.sources.journals", fromlist=["x"]
+        ).sql_rednotebook_extract(),
+        "roam_extract": __import__(
+            "jimmy_ray.sources.journals", fromlist=["x"]
+        ).sql_roam_extract(),
         "pdf_extract": __import__(
             "jimmy_ray.sources.pdf", fromlist=["x"]
         ).sql_pdf_extract(),
