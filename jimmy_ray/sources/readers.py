@@ -130,6 +130,10 @@ EXTENSION_FORMATS = {
     ".json": "json",
     ".xml": "xml",
     ".eml": "eml",
+    ".enex": "enex",
+    ".pdf": "pdf",
+    ".t2t": "t2t",
+    ".tid": "tiddlywiki",
 }
 
 
@@ -165,6 +169,19 @@ class FormatDispatchStage:
             "zettelkasten": _txt(wt.bbcode_to_md),
             "roam": _txt(wt.roam_to_md),
             "colornote": _txt(wt.colornote_to_md),
+            # round-2 payload parsers (each the module's pure-fn core)
+            "enex": lambda b: __import__(
+                "jimmy_ray.md.enex", fromlist=["x"]
+            ).enex_body_to_md(b.decode("utf-8", errors="replace"))[0],
+            "pdf": lambda b: __import__(
+                "jimmy_ray.sources.pdf", fromlist=["x"]
+            ).extract_pdf_text(b),
+            "t2t": _txt(__import__(
+                "jimmy_ray.sources.journals", fromlist=["x"]
+            ).t2t_to_md),
+            "lexical": _txt(__import__(
+                "jimmy_ray.md.lexical", fromlist=["x"]
+            ).super_to_markdown),
         }
         if parsers:
             self.parsers.update(parsers)

@@ -177,3 +177,28 @@ def test_pdf_extract_subset():
         b"<< /Length", b"<< /Filter /FlateDecode /Length")
     with pytest.raises(NotImplementedError):
         extract_pdf_text(compressed)
+
+
+def test_dispatch_round2_formats():
+    import pyarrow as pa
+
+    from jimmy_ray.sources.pdf import synth_pdf
+    from jimmy_ray.sources.readers import FormatDispatchStage, detect_format
+
+    assert detect_format("a/b.enex") == "enex"
+    assert detect_format("x.PDF") == "pdf"
+    assert detect_format("n.tid") == "tiddlywiki"
+    stage = FormatDispatchStage()
+    batch = pa.table({
+        "format": pa.array(["enex", "pdf", "t2t"], pa.string()),
+        "payload": pa.array([
+            b"<en-note><p>hello <b>b</b></p></en-note>",
+            synth_pdf(1, "pdf body"),
+            b"//it// and ``co``",
+        ], pa.binary()),
+    })
+    out = stage(batch)
+    assert out["text"].to_pylist() == [
+        "hello **b**", "Doc 1\npdf body\ntail 1", "*it* and `co`",
+    ]
+    assert out["error"].to_pylist() == [None, None, None]
