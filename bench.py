@@ -234,6 +234,8 @@ def run_scaling() -> None:
         "scaling_efficiency": round(eff, 3),
         f"extract_rows_per_s_{n_lo}": lo["rows_per_s"]["extract"],
         f"extract_rows_per_s_{n_hi}": hi["rows_per_s"]["extract"],
+        f"dedup_rows_per_s_{n_lo}": lo["rows_per_s"]["dedup_exact"],
+        f"dedup_rows_per_s_{n_hi}": hi["rows_per_s"]["dedup_exact"],
         "queries_lo": lo["queries"],
         "queries_hi": hi["queries"],
         "pages": hi["pages"],
