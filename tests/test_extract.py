@@ -249,3 +249,25 @@ def test_fast_parse_fallback_triggers():
     assert hx._fast_parse("<![CDATA[x]]><p>y</p>") is None
     # fallback still extracts correctly
     assert html_to_markdown("<html><body><p>a &lt; b</p></body></html>") == "a < b"
+
+
+def test_pathological_nesting_dead_letters_not_crashes():
+    """§2.9 fault isolation: a 5000-deep div nest overflows the renderer's
+    recursion and must dead-letter that row, leaving neighbors intact
+    (mirrors @catch_all_exceptions, common.py:66-82)."""
+    import pyarrow as pa
+
+    from jimmy_ray.stages.extract import extract_markdown_batch
+
+    deep = ("<div>" * 5000) + "x" + ("</div>" * 5000)
+    batch = pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        "lang": pa.array(["en", "en"]),
+        "html": pa.array([deep.encode(), b"<p>fine</p>"], pa.binary()),
+    })
+    out = extract_markdown_batch(batch)
+    errs = out["error"].to_pylist()
+    assert errs[0] is not None and "RecursionError" in errs[0]
+    assert errs[1] is None
+    assert out["text"].to_pylist()[1] == "fine"
