@@ -20,9 +20,9 @@ suite covers:
   (``underline:676-707``), `` `code` ``
 - div-class-checklist → task list ``- [x]`` (``div_checklists:48``)
 - iframes → links, text defaults to src (``iframes_to_links:72``)
-- simple tables → pipe tables; complex (rowspan/colspan/block content)
-  → literal ``[TABLE]`` (``streamline_tables:568`` +
-  convert.py:109-111 warning path)
+- tables → pipe tables with full ``streamline_tables:568-673``
+  normalization (rowspan/colspan expansion, hidden cells, block content
+  flattened with ``<br>``, lists-in-cells, captions — no ``[TABLE]`` punt)
 - links/images ``[text](url "title")`` / ``![alt](src)``
   (md_lib/links.py:16-27)
 
@@ -34,9 +34,11 @@ jimmy_ray.stages.extract.
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 
 _WS_RE = re.compile(r"\s+")
+_MULTISPACE_RE = re.compile(r"  +")
 
 
 def _slugify(fragment: str) -> str:
@@ -129,8 +131,6 @@ _RAWTEXT_RE = re.compile(r"<(script|style|textarea)\b", re.I)
 
 def _fast_parse(html: str) -> _Node | None:
     """Regex-sweep DOM build; None = punt to html.parser."""
-    from html import unescape
-
     if _RAWTEXT_RE.search(html) or "<![CDATA[" in html:
         return None
     root = _Node("#root", {})
@@ -497,9 +497,9 @@ def _render_inline(children: list, strip_bold: bool = False) -> str:
         else:  # span & unknown inline tags: unwrap
             parts.append(_render_inline(child.children, strip_bold))
     out = "".join(parts)
-    # collapse cross-node double spaces introduced by whitespace text nodes
-    while "  " in out:
-        out = out.replace("  ", " ")
+    # collapse cross-node space runs introduced by whitespace text nodes
+    if "  " in out:
+        out = _MULTISPACE_RE.sub(" ", out)
     return out.strip()
 
 
