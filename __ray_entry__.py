@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_dedup": dedup.minhash_dedup_pairs,
+        # connected-components clustering over the pair graph (dedup endgame)
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash_dedup": dedup.simhash_dedup_pairs,
         # similarity search over embeddings
         "ann_topk": simsearch.ann_topk,
@@ -574,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"
         ),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(),
+        "dedup_clusters": dedup.sql_dedup_clusters(),
         "ann_topk": simsearch.sql_ann_topk(),
         "multimodal_features": multimodal.sql_media_features(),
         "image_features": multimodal.sql_image_features(),

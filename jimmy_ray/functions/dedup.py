@@ -479,3 +479,137 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3):
     # a pair can match in several segments/buckets -> distinct (hamming is
     # identical wherever the pair appears, so min is a pure dedup)
     return pair_grouped(pairs, "hamming", "min", "hamming")
+
+
+# --- duplicate clustering (connected components over the pair graph) -------
+
+CHAIN_OFFSET = 2 * MUTATION_OFFSET
+
+
+def dedup_edges(sf_dir: str):
+    """Deterministic duplicate-pair edge list over the replicated corpus:
+    every doc pairs with its mutated replica; every third replica chains
+    to a second replica (transitive groups); every fiftieth doc bridges
+    to its neighbor (multi-doc components).  SQL-mirrored."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        a = [ids, ]
+        b = [ids + MUTATION_OFFSET, ]
+        chain = ids[ids % 3 == 0]
+        a.append(chain + MUTATION_OFFSET)
+        b.append(chain + CHAIN_OFFSET)
+        return pa.table({
+            "a": pa.array(np.concatenate(a), pa.int64()),
+            "b": pa.array(np.concatenate(b), pa.int64()),
+        })
+
+    base = docs.map_batches(edges, batch_format="pyarrow")
+
+    # neighbor bridges need cross-row knowledge (does doc_id+1 exist?) —
+    # a self-join on doc_id+1, not a per-batch guess
+    bridges_left = docs.map_batches(
+        lambda t: pa.table({
+            "a": t["doc_id"],
+            "join_key": pa.array(t["doc_id"].to_numpy() + 1, pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    right = docs.map_batches(
+        lambda t: pa.table({"join_key": t["doc_id"]}), batch_format="pyarrow"
+    )
+    bridges = bridges_left.join(
+        right, join_type="inner", num_partitions=8, on=("join_key",)
+    ).map_batches(
+        lambda t: pa.table({
+            "a": t["a"], "b": t["join_key"],
+        }).filter(pa.array(t["a"].to_numpy() % 50 == 0)),
+        batch_format="pyarrow",
+    )
+    return base.union(bridges)
+
+
+def dedup_clusters(sf_dir: str, max_iters: int = 16, num_partitions: int = 8):
+    """Connected components over the duplicate-pair graph → one cluster
+    representative (min doc_id) per node — the dedup endgame: keep one
+    doc per duplicate GROUP, not per pair.
+
+    Distributed min-label propagation: each round hash-joins the current
+    labels onto the symmetric edge list and folds with groupby(node).min
+    — labels monotonically decrease, so the driver-side convergence check
+    (sum of labels, one scalar per round) terminates in ≤ graph-diameter
+    rounds.  The DuckDB mirror is a recursive closure CTE.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    edges = dedup_edges(sf_dir)
+
+    def symmetric(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    sym = edges.map_batches(symmetric, batch_format="pyarrow").materialize()
+
+    labels = sym.map_batches(
+        lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+        batch_format="pyarrow",
+    ).repartition(num_partitions).groupby("node").aggregate(
+        Min("label", alias_name="label")
+    ).materialize()
+
+    def checksum(ds) -> int:
+        row = ds.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        candidates = sym.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = labels.union(candidates).repartition(num_partitions) \
+            .groupby("node").aggregate(Min("label", alias_name="label")) \
+            .materialize()
+        cur = checksum(labels)
+        if cur == prev:  # min-labels are monotone: fixpoint reached
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "cluster_rep": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE
+raw(a, b) AS (
+  SELECT doc_id, doc_id + {MUTATION_OFFSET} FROM documents
+  UNION ALL
+  SELECT doc_id + {MUTATION_OFFSET}, doc_id + {CHAIN_OFFSET}
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT d.doc_id, d.doc_id + 1 FROM documents d
+  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 50 = 0
+),
+edges(src, dst) AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+nodes(node) AS (SELECT DISTINCT src FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, MIN(label) AS cluster_rep FROM reach GROUP BY node
+"""
