@@ -126,6 +126,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         # BPE-ish pre-tokenizer counts (training-cost metric)
         "bpe_token_count": textstats.bpe_token_count,
+        # mixture construction + hygiene (sampling / PII / decontamination)
+        "stratified_sample": lambda sf: __import__(
+            "jimmy_ray.functions.mixtures", fromlist=["x"]
+        ).stratified_sample(sf),
+        "pii_scrub": lambda sf: __import__(
+            "jimmy_ray.functions.mixtures", fromlist=["x"]
+        ).pii_scrub(sf),
+        "decontaminate": lambda sf: __import__(
+            "jimmy_ray.functions.mixtures", fromlist=["x"]
+        ).decontaminate(sf),
         # paragraph-level boilerplate removal (2-pass broadcast set)
         "paragraph_dedup": lambda sf: __import__(
             "jimmy_ray.functions.paradedup", fromlist=["x"]
@@ -570,6 +580,15 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": __import__(
             "jimmy_ray.functions.paradedup", fromlist=["x"]
         ).sql_paragraph_dedup(),
+        "stratified_sample": __import__(
+            "jimmy_ray.functions.mixtures", fromlist=["x"]
+        ).sql_stratified_sample(),
+        "pii_scrub": __import__(
+            "jimmy_ray.functions.mixtures", fromlist=["x"]
+        ).sql_pii_scrub(),
+        "decontaminate": __import__(
+            "jimmy_ray.functions.mixtures", fromlist=["x"]
+        ).sql_decontaminate(),
         "lang_id": textstats.sql_lang_id(),
         "doc_dedup_exact": (
             "SELECT md5(text) AS md5, MIN(doc_id) AS keep_doc_id, "
