@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: __import__(
             "jimmy_ray.functions.mixtures", fromlist=["x"]
         ).decontaminate(sf),
+        "chunk_documents": lambda sf: __import__(
+            "jimmy_ray.functions.mixtures", fromlist=["x"]
+        ).chunk_documents(sf),
         # paragraph-level boilerplate removal (2-pass broadcast set)
         "paragraph_dedup": lambda sf: __import__(
             "jimmy_ray.functions.paradedup", fromlist=["x"]
@@ -589,6 +592,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": __import__(
             "jimmy_ray.functions.mixtures", fromlist=["x"]
         ).sql_decontaminate(),
+        "chunk_documents": __import__(
+            "jimmy_ray.functions.mixtures", fromlist=["x"]
+        ).sql_chunk_documents(),
         "lang_id": textstats.sql_lang_id(),
         "doc_dedup_exact": (
             "SELECT md5(text) AS md5, MIN(doc_id) AS keep_doc_id, "

@@ -186,3 +186,68 @@ SELECT c.doc_id AS doc_id,
 FROM (SELECT DISTINCT doc_id FROM corpus) c
 LEFT JOIN hits h USING (doc_id)
 """
+
+
+# --- fixed-window chunking (pre-tokenization splitter) ---------------------
+
+CHUNK_W = 16   # tokens per chunk
+CHUNK_S = 12   # stride (CHUNK_W - CHUNK_S = 4 tokens of overlap)
+
+
+def chunk_documents(sf_dir: str, window: int = CHUNK_W, stride: int = CHUNK_S):
+    """1:N explode into overlapping fixed-token windows — the
+    pre-tokenization chunker: chunk i covers tokens [i·stride,
+    i·stride+window); the final partial window is kept iff it starts
+    inside the document (standard sliding-window chunking)."""
+    import ray.data as rd
+
+    tok_re = re.compile("[A-Za-z0-9_]+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, chunks, counts = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = tok_re.findall(text)
+            i = 0
+            start = 0
+            while start < len(toks):
+                piece = toks[start : start + window]
+                ids.append(doc_id)
+                idxs.append(i)
+                chunks.append(" ".join(piece))
+                counts.append(len(piece))
+                if start + window >= len(toks):
+                    break
+                i += 1
+                start += stride
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk": pa.array(chunks, pa.string()),
+            "n_tokens": pa.array(counts, pa.int64()),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+
+def sql_chunk_documents(window: int = CHUNK_W, stride: int = CHUNK_S) -> str:
+    # chunk i exists iff i == 0 or i*stride < n_tokens and the PREVIOUS
+    # chunk did not already reach the end (start+window >= n ends the walk)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, n, i
+  FROM toks, unnest(range(0, 1 + greatest(n - 1, 0) // {stride})) AS u(i)
+  WHERE n > 0 AND (i = 0 OR (i * {stride} < n AND (i - 1) * {stride} + {window} < n))
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+  array_to_string(t[i * {stride} + 1 : i * {stride} + {window}], ' ') AS chunk,
+  CAST(least(n - i * {stride}, {window}) AS BIGINT) AS n_tokens
+FROM idx
+"""

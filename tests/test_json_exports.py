@@ -104,3 +104,32 @@ def test_colornote_routing_precedence():
     rows = cn.parse_backup(cn.synth_backup(12, "x"))
     assert rows[0]["notebook"] == "calendar"
     assert rows[0]["title"].count("-") == 2
+
+
+def test_chunking_edge_cases_match_sql_semantics():
+    """Sliding-window chunker boundaries: empty doc -> no chunks; doc
+    shorter than a window -> one partial; exact multiples don't emit an
+    empty trailing window."""
+    import re
+
+    from jimmy_ray.functions.mixtures import CHUNK_S, CHUNK_W
+
+    def chunks(n):
+        toks = [f"w{j}" for j in range(n)]
+        out = []
+        i = start = 0
+        while start < len(toks):
+            out.append(toks[start:start + CHUNK_W])
+            if start + CHUNK_W >= len(toks):
+                break
+            i += 1
+            start += CHUNK_S
+        return out
+
+    assert chunks(0) == []
+    assert len(chunks(5)) == 1 and len(chunks(5)[0]) == 5
+    assert len(chunks(CHUNK_W)) == 1            # exact window: one chunk
+    assert len(chunks(CHUNK_W + 1)) == 2        # one token spill
+    # overlap: consecutive chunks share CHUNK_W - CHUNK_S tokens
+    c = chunks(40)
+    assert c[0][-(CHUNK_W - CHUNK_S):] == c[1][:CHUNK_W - CHUNK_S]
