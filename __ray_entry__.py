@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": lambda sf: __import__(
             "jimmy_ray.functions.sketches", fromlist=["x"]
         ).heavy_hitter_tokens(sf),
+        "doc_length_quantiles": lambda sf: __import__(
+            "jimmy_ray.functions.sketches", fromlist=["x"]
+        ).doc_length_quantiles(sf),
         # multimodal plumbing (stubbed codec, real Ray-side pipeline)
         "multimodal_features": multimodal.media_features,
         # real image-decode tier (pure-numpy PPM: decode + channel sums)

@@ -184,3 +184,63 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 16) -> "object":
     top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return pd.DataFrame({"token": [t for t, _ in top],
                          "approx_count": [c for _, c in top]})
+
+
+# --- mergeable quantile sketch (per-batch compressed CDF) ------------------
+
+QS_K = 64  # order statistics kept per batch -> per-batch rank error ~ n/K
+
+
+def quantile_compress(values: np.ndarray, k: int = QS_K) -> tuple[np.ndarray, float]:
+    """(k sorted order statistics, weight per point) for one batch."""
+    v = np.sort(values.astype(np.float64))
+    if v.size <= k:
+        return v, 1.0
+    idx = np.floor((np.arange(k) + 0.5) * v.size / k).astype(np.int64)
+    return v[idx], v.size / k
+
+
+def weighted_quantiles(points: np.ndarray, weights: np.ndarray,
+                       probs: list[float]) -> list[float]:
+    order = np.argsort(points, kind="stable")
+    pts, w = points[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = []
+    for p in probs:
+        target = p * total
+        j = int(np.searchsorted(cum, target, side="left"))
+        out.append(float(pts[min(j, len(pts) - 1)]))
+    return out
+
+
+def doc_length_quantiles(sf_dir: str,
+                         probs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Approximate doc-length quantiles via a mergeable sketch: each batch
+    ships K weighted order statistics (constant bytes per batch, like the
+    HLL row), the driver folds K × n_blocks points — never the column.
+    Rank error is bounded by 1/K per batch; accuracy asserted in tests."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pts, weight = quantile_compress(
+            batch["n_chars"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "point": pa.array(pts, pa.float64()),
+            "weight": pa.array(np.full(pts.size, weight), pa.float64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192).take_all()
+    points = np.array([r["point"] for r in rows])
+    weights = np.array([r["weight"] for r in rows])
+    qs = weighted_quantiles(points, weights, list(probs))
+    return pd.DataFrame({
+        "p": list(probs),
+        "n_chars_quantile": qs,
+    })

@@ -116,3 +116,36 @@ def test_ivf_training_sample_bounded_and_deterministic(ray_session, monkeypatch)
     assert 16 <= len(vecs) <= 3 * 64
     again = simsearch._training_sample("/root/testdata/sf0.001")
     assert np.array_equal(vecs, again)
+
+
+def test_doc_length_quantiles_accuracy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from jimmy_ray.functions import sketches
+
+    df = sketches.doc_length_quantiles("/root/testdata/sf0.001")
+    exact = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["n_chars"])["n_chars"].to_numpy()
+    for p, got in zip(df["p"], df["n_chars_quantile"]):
+        want = float(np.quantile(exact, p))
+        spread = exact.max() - exact.min()
+        assert abs(got - want) <= max(0.05 * spread, 2), (p, got, want)
+
+
+def test_quantile_sketch_merges_weighted_batches():
+    import numpy as np
+
+    from jimmy_ray.functions import sketches
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 10_000, 50_000)
+    pts, wts = [], []
+    for chunk in np.array_split(data, 37):
+        p, w = sketches.quantile_compress(chunk)
+        pts.append(p)
+        wts.append(np.full(p.size, w))
+    got = sketches.weighted_quantiles(
+        np.concatenate(pts), np.concatenate(wts), [0.5, 0.9])
+    assert abs(got[0] - np.quantile(data, 0.5)) < 200
+    assert abs(got[1] - np.quantile(data, 0.9)) < 200
