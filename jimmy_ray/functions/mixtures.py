@@ -120,16 +120,27 @@ FROM documents
 
 def benchmark_shingles(sf_dir: str) -> set[str]:
     """Shingle set of the eval documents — the bounded broadcast side
-    (|eval| = corpus/EVAL_MOD by construction)."""
-    import pyarrow.parquet as pq
+    (|eval| = corpus/EVAL_MOD by construction).  Extraction is a
+    distributed filter + per-batch shingle explode; only the eval-set
+    shingle rows ever reach the driver, never the corpus."""
+    import ray.data as rd
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text"])
-    out: set[str] = set()
-    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        if doc_id % EVAL_MOD == 0:
-            out.update(shingles(text))
-    return out
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            if doc_id % EVAL_MOD == 0:
+                out.extend(shingles(text))
+        return pa.table({"s": pa.array(out, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    result: set[str] = set()
+    for b in ds.map_batches(eval_shingles, batch_format="pyarrow",
+                            batch_size=2048).iter_batches(
+                                batch_format="pyarrow"):
+        result.update(b["s"].to_pylist())
+    return result
 
 
 def decontaminate(sf_dir: str):
