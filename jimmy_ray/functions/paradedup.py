@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 
 BOILERPLATE_K = 2
@@ -63,11 +62,16 @@ def paragraph_boilerplate_fps(docs_ds, k: int = BOILERPLATE_K) -> set[str]:
         .groupby("fp")
         .aggregate(Sum("p_n", alias_name="n"))
     )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["n"].to_numpy() >= k))
+
+    # filter count>=k BEFORE anything reaches the driver: only the
+    # boilerplate survivors (bounded above by corpus_rows / k) stream back
     fps: set[str] = set()
-    for b in hist.iter_batches(batch_format="pyarrow"):
-        n = b["n"].to_numpy()
-        for fp in np.asarray(b["fp"].to_pylist(), dtype=object)[n >= k]:
-            fps.add(fp)
+    for b in hist.map_batches(survivors, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        fps.update(b["fp"].to_pylist())
     return fps
 
 
