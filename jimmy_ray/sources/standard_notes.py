@@ -114,6 +114,17 @@ def standard_notes_extract(sf_dir: str, num_partitions: int = 8):
                              batch_size=512)
     pairs = items.map_batches(_tag_pairs, batch_format="pyarrow")
 
+    # coarse-bucket fold: one map_groups call per hash bucket, the
+    # per-uuid fold runs vectorized inside (one group per note would be
+    # the high-cardinality map_groups anti-pattern — CLAUDE.md)
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from jimmy_ray.functions.dedup import fnv64
+
+        # process-stable hash: rows of one uuid may be bucketed in
+        # different workers, so python's randomized hash() would split them
+        batch["__b"] = batch["uuid"].map(lambda u: fnv64(u) % 64)
+        return batch
+
     def fold(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
             return pd.DataFrame({"uuid": pd.Series([], dtype=str),
@@ -126,7 +137,11 @@ def standard_notes_extract(sf_dir: str, num_partitions: int = 8):
         out.columns = ["uuid", "tags"]
         return out
 
-    tag_map = pairs.groupby("uuid").map_groups(fold, batch_format="pandas")
+    tag_map = (
+        pairs.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+    )
     notes = items.map_batches(_note_rows, batch_format="pyarrow")
     joined = notes.join(tag_map, join_type="left_outer",
                         num_partitions=num_partitions, on=("uuid",))
