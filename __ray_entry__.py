@@ -225,6 +225,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upnote_extract": lambda sf: __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).upnote_extract(sf),
+        # zkn3 zip (tag-id join) + Bear/textbundle bundles (S9/S11)
+        "zettelkasten_extract": lambda sf: __import__(
+            "jimmy_ray.sources.archives", fromlist=["x"]
+        ).zettelkasten_extract(sf),
+        "textbundle_extract": lambda sf: __import__(
+            "jimmy_ray.sources.archives", fromlist=["x"]
+        ).textbundle_extract(sf),
         # RedNotebook YAML month->day explode + Roam outline walker (S8)
         "rednotebook_extract": lambda sf: __import__(
             "jimmy_ray.sources.journals", fromlist=["x"]
@@ -530,6 +537,12 @@ def oracle_sql() -> dict[str, str]:
         "upnote_extract": __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).sql_upnote_extract(),
+        "zettelkasten_extract": __import__(
+            "jimmy_ray.sources.archives", fromlist=["x"]
+        ).sql_zettelkasten_extract(),
+        "textbundle_extract": __import__(
+            "jimmy_ray.sources.archives", fromlist=["x"]
+        ).sql_textbundle_extract(),
         "rednotebook_extract": __import__(
             "jimmy_ray.sources.journals", fromlist=["x"]
         ).sql_rednotebook_extract(),
