@@ -225,6 +225,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upnote_extract": lambda sf: __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).upnote_extract(sf),
+        # flat-JSON trio: Simplenote / Drafts / jrnl (S8 long-tail close)
+        "simplenote_extract": lambda sf: __import__(
+            "jimmy_ray.sources.flatjson", fromlist=["x"]
+        ).simplenote_extract(sf),
+        "drafts_extract": lambda sf: __import__(
+            "jimmy_ray.sources.flatjson", fromlist=["x"]
+        ).drafts_extract(sf),
+        "jrnl_extract": lambda sf: __import__(
+            "jimmy_ray.sources.flatjson", fromlist=["x"]
+        ).jrnl_extract(sf),
         # zkn3 zip (tag-id join) + Bear/textbundle bundles (S9/S11)
         "zettelkasten_extract": lambda sf: __import__(
             "jimmy_ray.sources.archives", fromlist=["x"]
@@ -537,6 +547,15 @@ def oracle_sql() -> dict[str, str]:
         "upnote_extract": __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).sql_upnote_extract(),
+        "simplenote_extract": __import__(
+            "jimmy_ray.sources.flatjson", fromlist=["x"]
+        ).sql_simplenote_extract(),
+        "drafts_extract": __import__(
+            "jimmy_ray.sources.flatjson", fromlist=["x"]
+        ).sql_drafts_extract(),
+        "jrnl_extract": __import__(
+            "jimmy_ray.sources.flatjson", fromlist=["x"]
+        ).sql_jrnl_extract(),
         "zettelkasten_extract": __import__(
             "jimmy_ray.sources.archives", fromlist=["x"]
         ).sql_zettelkasten_extract(),
