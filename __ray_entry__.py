@@ -225,6 +225,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upnote_extract": lambda sf: __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).upnote_extract(sf),
+        # Tomboy markup walk + Diaro uid-joined tables (S9 round 2)
+        "tomboy_extract": lambda sf: __import__(
+            "jimmy_ray.sources.xmlnotes2", fromlist=["x"]
+        ).tomboy_extract(sf),
+        "diaro_extract": lambda sf: __import__(
+            "jimmy_ray.sources.xmlnotes2", fromlist=["x"]
+        ).diaro_extract(sf),
         # flat-JSON trio: Simplenote / Drafts / jrnl (S8 long-tail close)
         "simplenote_extract": lambda sf: __import__(
             "jimmy_ray.sources.flatjson", fromlist=["x"]
@@ -547,6 +554,12 @@ def oracle_sql() -> dict[str, str]:
         "upnote_extract": __import__(
             "jimmy_ray.sources.upnote", fromlist=["x"]
         ).sql_upnote_extract(),
+        "tomboy_extract": __import__(
+            "jimmy_ray.sources.xmlnotes2", fromlist=["x"]
+        ).sql_tomboy_extract(),
+        "diaro_extract": __import__(
+            "jimmy_ray.sources.xmlnotes2", fromlist=["x"]
+        ).sql_diaro_extract(),
         "simplenote_extract": __import__(
             "jimmy_ray.sources.flatjson", fromlist=["x"]
         ).sql_simplenote_extract(),
