@@ -115,8 +115,9 @@ def standard_notes_extract(sf_dir: str, num_partitions: int = 8):
     pairs = items.map_batches(_tag_pairs, batch_format="pyarrow")
 
     # coarse-bucket fold: one map_groups call per hash bucket, the
-    # per-uuid fold runs vectorized inside (one group per note would be
-    # the high-cardinality map_groups anti-pattern — CLAUDE.md)
+    # per-uuid fold runs vectorized inside (one group per note would pay
+    # Ray's per-group dispatch cost at high cardinality — see
+    # jimmy_ray.functions.dedup.pair_grouped for the measured rationale)
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         from jimmy_ray.functions.dedup import fnv64
 
