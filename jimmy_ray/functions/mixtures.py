@@ -102,19 +102,28 @@ def pii_scrub(sf_dir: str):
 
 
 def sql_pii_scrub() -> str:
+    # counts computed from the same strings the scrub runs over (emails
+    # counted on the raw text, phones on the email-scrubbed text — the
+    # exact subn order), so document text containing real PII stays in
+    # parity (ADVICE r2 low #1)
     return f"""
+WITH raw AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex'
+      || CAST(doc_id % 7 AS VARCHAR) || '.com or +1 (555) 123-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+),
+em AS (
+  SELECT doc_id, regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g') AS t1,
+    CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails
+  FROM raw
+)
 SELECT doc_id,
-  regexp_replace(
-    regexp_replace(
-      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex'
-        || CAST(doc_id % 7 AS VARCHAR) || '.com or +1 (555) 123-'
-        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-      '{EMAIL_RE}', '[EMAIL]', 'g'),
-    '{PHONE_RE}', '[PHONE]', 'g')
-    AS clean_text,
-  CAST(1 AS BIGINT) AS n_emails,
-  CAST(1 AS BIGINT) AS n_phones
-FROM documents
+  regexp_replace(t1, '{PHONE_RE}', '[PHONE]', 'g') AS clean_text,
+  n_emails,
+  CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM em
 """
 
 

@@ -158,6 +158,7 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 10):
         probe.add(int(b))
         for bit in range(N_PLANES):
             probe.add(int(b) ^ (1 << bit))
+    probe_arr = np.fromiter(probe, dtype=np.int64, count=len(probe))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -165,7 +166,7 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 10):
         vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
         nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         buckets = lsh_bucket(nv, planes)
-        keep = np.array([int(b) in probe for b in buckets])
+        keep = np.isin(buckets.astype(np.int64), probe_arr)
         return batch.filter(pa.array(keep))
 
     filtered = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=4096)
@@ -263,7 +264,7 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
 
     qids, qmat = _load_queries(sf_dir, n_queries)
     qprobe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
-    probe_buckets = set(int(b) for row in qprobe for b in row)
+    probe_arr = np.unique(qprobe.astype(np.int64))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -272,7 +273,7 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
         vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
         nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         assign = np.argmax(nv @ centroids.T, axis=1)
-        keep = np.array([int(a) in probe_buckets for a in assign])
+        keep = np.isin(assign.astype(np.int64), probe_arr)
         return batch.filter(pa.array(keep))
 
     cands = ds.map_batches(bucket_filter, batch_format="pyarrow",

@@ -83,8 +83,16 @@ class EnexMarkdownBuilder:
 
     # --- buffer helpers ----------------------------------------------------
 
+    def _sink(self) -> list[str]:
+        """Active output buffer: the cell buffer while inside a table, so
+        formatting markers / links / media emitted within ``td``/``th``
+        land in the pipe-table cell instead of leaking outside it."""
+        return self._cell if self.in_table else self.out
+
     def _nl(self, count: int) -> None:
         """Guarantee `count` trailing newline entries (never stacking)."""
+        if self.in_table:
+            return  # newlines would break the pipe-table cell
         if not self.out:
             return
         have = 0
@@ -95,7 +103,7 @@ class EnexMarkdownBuilder:
     def _open_fmt(self, name: str) -> None:
         if name in self.fmt:
             return
-        self.out.append(_MARKERS[name])
+        self._sink().append(_MARKERS[name])
         self.fmt[name] = self.depth
 
     # --- element handlers --------------------------------------------------
@@ -126,7 +134,7 @@ class EnexMarkdownBuilder:
                 self.link["append"] = "\n\n"
             else:
                 self._nl(2)
-                self.out.append(marker)
+                self._sink().append(marker)
         elif tag == "hr":
             self._nl(2)
             self.out.append("---")
@@ -134,7 +142,7 @@ class EnexMarkdownBuilder:
         elif tag == "img":
             src = attrib.get("src")
             if src is not None:
-                self.out.append(make_link(
+                self._sink().append(make_link(
                     attrib.get("title", attrib.get("alt", "")), src,
                     is_image=True,
                 ))
@@ -219,7 +227,8 @@ class EnexMarkdownBuilder:
         elif tag == "en-media":
             if self.resource_hash is not None:
                 alt = (self.link or {}).get("alt", "")
-                self.out.append(make_link(alt, self.resource_hash, is_image=True))
+                self._sink().append(
+                    make_link(alt, self.resource_hash, is_image=True))
                 self.hashes.append(self.resource_hash)
             self.resource_hash = None
             self.link = None
@@ -235,8 +244,13 @@ class EnexMarkdownBuilder:
             self.in_table = False
             self._header_rows, self._data_rows = [], []
         elif tag in ("td", "th", "col"):
+            # close formatting scoped to this cell BEFORE flushing, so the
+            # closing markers land inside the cell text
+            self.depth -= 1
+            self._close_scoped_formatting()
             self._row.append("".join(self._cell))
             self._cell = []
+            return
         elif tag == "tr":
             if self._row_is_header:
                 self._header_rows.append(self._row)
@@ -257,16 +271,17 @@ class EnexMarkdownBuilder:
         self._nl(trailing)
 
     def _close_scoped_formatting(self) -> None:
+        sink = self._sink()
         for name, opened_at in list(self.fmt.items()):
             if self.depth >= opened_at:
                 continue
             if name == "codeblock":
                 self._nl(1)
-            self.out.append(_MARKERS[name])
+            sink.append(_MARKERS[name])
             if name == "codeblock":
                 self._nl(2)
-            elif len(self.out) >= 2 and self.out[-2] == self.out[-1]:
-                del self.out[-2:]  # nothing between open and close markers
+            elif len(sink) >= 2 and sink[-2] == sink[-1]:
+                del sink[-2:]  # nothing between open and close markers
             del self.fmt[name]
 
     def _emit_link(self) -> None:
@@ -274,8 +289,9 @@ class EnexMarkdownBuilder:
             return
         link = self.link
         self.link = None
+        sink = self._sink()
         if prepend := link.get("prepend"):
-            self.out.append(prepend)
+            sink.append(prepend)
         title = link.get("title", link.get("alt"))
         url = link.get("href")
         if url is not None and url.strip() == "#":
@@ -283,13 +299,13 @@ class EnexMarkdownBuilder:
         if title is None and url is None:
             pass
         elif url is None:
-            self.out.append(title)
+            sink.append(title)
         elif title is None or title == url:
-            self.out.append(f"<{url}>")
+            sink.append(f"<{url}>")
         else:
-            self.out.append(make_link(title, url))
-        if append := link.get("append"):
-            self.out.append(append)
+            sink.append(make_link(title, url))
+        if (append := link.get("append")) and not self.in_table:
+            sink.append(append)
 
     def _table_md(self) -> str:
         rows_md = []
@@ -307,12 +323,13 @@ class EnexMarkdownBuilder:
     def data(self, data: str) -> None:
         if data in _IGNORED_DATA:
             return
-        if not data.strip() and (not self.out or not self.out[-1].strip()):
+        sink = self._sink()
+        if not data.strip() and (not sink or not sink[-1].strip()):
             return
         if (
             self.lists
-            and self.out
-            and any(self.out[-1].endswith(b)
+            and sink
+            and any(sink[-1].endswith(b)
                     for b in ("- [x] ", "- [ ] ", "- ", "1. "))
         ):
             data = data.lstrip()
@@ -320,7 +337,8 @@ class EnexMarkdownBuilder:
             self._decrypt_inline(data)
             return
         if (
-            self.quote_level > 0
+            not self.in_table
+            and self.quote_level > 0
             and self.out
             and self.out[-len(self.fmt) - 1] == "\n"
         ):
@@ -330,28 +348,27 @@ class EnexMarkdownBuilder:
             self.link["title"] = self.link.get("title", "") + data
         elif self.resource_hash is not None:
             pass  # resource titles unsupported (evernote.py:488)
-        elif self.in_table:
-            self._cell.append(data)
         else:
-            self.out.append(data)
+            sink.append(data)
 
     def _decrypt_inline(self, data: str) -> None:
         from jimmy_ray.scalars import crypto
 
+        sink = self._sink()
         if (
             self.password is None
             or self.crypt.get("cipher") != "AES"
             or self.crypt.get("length") != "128"
         ):
-            self.out.extend([data, "\n"])
+            sink.extend([data, "\n"] if not self.in_table else [data])
             return
         try:
             plaintext = crypto.evernote_decrypt_b64(data, self.password)
         except Exception:  # noqa: BLE001 - wrong password / corrupt payload
-            self.out.extend([data, "\n"])
+            sink.extend([data, "\n"] if not self.in_table else [data])
             return
         inner_md, inner_hashes = enex_body_to_md(plaintext, self.password)
-        self.out.append(inner_md)
+        sink.append(inner_md)
         self.hashes.extend(inner_hashes)
 
     def close(self) -> tuple[str, list[str]]:

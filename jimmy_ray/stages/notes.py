@@ -342,6 +342,12 @@ def filter_notes_by_tag(sf_dir: str, include: tuple[str, ...] = ("tag1*",),
     inc = _re.compile("|".join(_fn.translate(g) for g in include))
     exc = _re.compile("|".join(_fn.translate(g) for g in exclude))
 
+    from jimmy_ray.functions.dedup import fnv64
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__b"] = batch["url"].map(lambda u: fnv64(u) % 64).astype("int64")
+        return batch
+
     def fold(batch: pd.DataFrame) -> pd.DataFrame:
         batch["inc"] = batch["tag"].map(lambda t: bool(inc.match(t)))
         batch["exc"] = batch["tag"].map(lambda t: bool(exc.match(t)))
@@ -351,7 +357,14 @@ def filter_notes_by_tag(sf_dir: str, include: tuple[str, ...] = ("tag1*",),
         keep = g[g["any_inc"] & ~g["any_exc"]]
         return keep[["url"]]
 
-    # per-batch fold is exact here because inline_tags emits one block of
-    # tags per page batch (all tags of a url stay in one batch); a
-    # cross-batch tag layout would need a groupby(url) first
-    return inline_tags(sf_dir).map_batches(fold, batch_format="pandas")
+    # Ray re-batches rows, so a note's tags can span map_batches batches —
+    # the ANY/NONE fold must see all tags of a url at once.  Coarse
+    # hash-bucket by url (64 groups) then fold locally per bucket: every
+    # url's tags colocate, and the groupby stays low-cardinality
+    # (CLAUDE.md pair_grouped lesson).
+    return (
+        inline_tags(sf_dir)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+    )

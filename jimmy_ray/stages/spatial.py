@@ -458,12 +458,13 @@ def knn_hex_pruned(points_ds, qpoints: list[dict], ring_k: int = 2,
         cell = int(hexcell.hexcell_id_e6(
             np.int64(q["lat_e6"]), np.int64(q["lon_e6"]), 7))
         probe.update(int(c) for c in hexcell.k_ring(cell, ring_k))
+    probe_arr = np.fromiter(probe, dtype=np.int64, count=len(probe))
 
     def ring_filter(batch: pa.Table) -> pa.Table:
         cells = hexcell.hexcell_id_e6(
             batch["lat_e6"].to_numpy(zero_copy_only=False),
             batch["lon_e6"].to_numpy(zero_copy_only=False), 7)
-        keep = np.array([int(c) in probe for c in cells])
+        keep = np.isin(cells.astype(np.int64), probe_arr)
         return batch.filter(pa.array(keep))
 
     filtered = points_ds.map_batches(ring_filter, batch_format="pyarrow",

@@ -66,7 +66,33 @@ CASES = [
     ('<en-note><div style="--en-id:abc;"></div></en-note>', "tasklist://abc"),
     # placeholder text dropped (evernote.py:418-425)
     ("<en-note><p>Content not supported</p><p>real</p></en-note>", "real"),
+    # rich content INSIDE table cells stays in the cell (ADVICE r2):
+    # formatting markers
+    ("<en-note><table><tr><th>k</th></tr>"
+     "<tr><td><b>bold</b> x</td></tr></table></en-note>",
+     "| k |\n| --- |\n| **bold** x |"),
+    # links
+    ('<en-note><table><tr><td><a href="https://x.io">t</a></td>'
+     "<td>y</td></tr></table></en-note>",
+     "| [t](https://x.io) | y |"),
+    # style-driven formatting opened by the td itself
+    ('<en-note><table><tr><td style="font-weight:bold">cellfmt</td>'
+     "<td>n</td></tr></table></en-note>",
+     "| **cellfmt** | n |"),
+    # table sandwiched between paragraphs keeps its surroundings intact
+    ("<en-note><p>before</p><table><tr><td><i>it</i></td></tr></table>"
+     "<p>after</p></en-note>",
+     "before\n\n| *it* |\n\nafter"),
 ]
+
+
+def test_en_media_inside_table_cell():
+    md, hashes = enex_body_to_md(
+        '<en-note><table><tr><td><en-media hash="h9" type="image/png"/>'
+        "</td></tr></table></en-note>"
+    )
+    assert md == "| ![](h9) |"
+    assert hashes == ["h9"]
 
 
 @pytest.mark.parametrize("xml,expected", CASES, ids=range(len(CASES)))
