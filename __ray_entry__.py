@@ -242,6 +242,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jrnl_extract": lambda sf: __import__(
             "jimmy_ray.sources.flatjson", fromlist=["x"]
         ).jrnl_extract(sf),
+        # Synology Note Station nsx container (S9: trash skip, notebook
+        # parent join, md5/ref resource match, fuzzy notestation:// links)
+        "synology_extract": lambda sf: __import__(
+            "jimmy_ray.sources.synology", fromlist=["x"]
+        ).synology_extract(sf),
+        # Nimbus Note zip-of-note.html container (S8: app filters, dup
+        # https fix, fuzzy nimbusnote:// links, asset/suffix recovery)
+        "nimbus_extract": lambda sf: __import__(
+            "jimmy_ray.sources.nimbus", fromlist=["x"]
+        ).nimbus_extract(sf),
         # zkn3 zip (tag-id join) + Bear/textbundle bundles (S9/S11)
         "zettelkasten_extract": lambda sf: __import__(
             "jimmy_ray.sources.archives", fromlist=["x"]
@@ -569,6 +579,12 @@ def oracle_sql() -> dict[str, str]:
         "jrnl_extract": __import__(
             "jimmy_ray.sources.flatjson", fromlist=["x"]
         ).sql_jrnl_extract(),
+        "synology_extract": __import__(
+            "jimmy_ray.sources.synology", fromlist=["x"]
+        ).sql_synology_extract(),
+        "nimbus_extract": __import__(
+            "jimmy_ray.sources.nimbus", fromlist=["x"]
+        ).sql_nimbus_extract(),
         "zettelkasten_extract": __import__(
             "jimmy_ray.sources.archives", fromlist=["x"]
         ).sql_zettelkasten_extract(),

@@ -95,6 +95,164 @@ def nimbus_add_note_links(root: _Node) -> None:
     _walk(root.children, visit)
 
 
+def _find_all(node: _Node, tag: str, out: list | None = None) -> list:
+    """Document-order descendants with the given tag."""
+    if out is None:
+        out = []
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.tag == tag:
+                out.append(child)
+            _find_all(child, tag, out)
+    return out
+
+
+def nimbus_streamline_lists(root: _Node) -> None:
+    """html_filter.py:268-344: nimbus exports every list as a flat ul; the
+    real type (bullet/number/checkbox) and nesting (indent-X / level-X)
+    live in class attrs.  Rebuild nested typed lists; single checkbox
+    spans in tables become literal markers."""
+
+    def indent_of(item: _Node) -> int:
+        for cls in _classes(item):
+            for prefix in ("indent-", "level-"):
+                if cls.startswith(prefix):
+                    try:
+                        return int(cls[len(prefix):])
+                    except ValueError:
+                        pass
+        return 0
+
+    def type_of(item: _Node, parent_classes: list[str]) -> tuple[str, str]:
+        classes = _classes(item)
+        if "outline-list-item" in classes or "list-item-bullet" in classes:
+            item_type = "bullet"
+        elif "list-item-number" in classes:
+            item_type = "number"
+        elif ("list-item-checkbox" in classes
+              or "nn-checkbox-list" in parent_classes
+              or "checklist" in parent_classes):
+            item_type = "checkbox"
+        else:
+            item_type = "bullet"
+        return {"checkbox": "ul", "bullet": "ul", "number": "ol"}[item_type], item_type
+
+    for list_ in _find_all(root, "ul"):
+        items = [c for c in list_.children
+                 if isinstance(c, _Node) and c.tag == "li"]
+        if not items:
+            continue
+        parent_classes = _classes(list_)
+        list_.children = []
+        stack = [list_]  # stack[level] = list node at that depth
+        current_indent = 0
+        for item in items:
+            list_type, item_type = type_of(item, parent_classes)
+            if item_type == "checkbox":
+                box = _Node("input", {"type": "checkbox"})
+                if (item.attrs.get("data-checked", "false") == "true"
+                        or "nn-checked" in _classes(item)):
+                    box.attrs["checked"] = ""
+                item.children.insert(0, box)
+            indent = indent_of(item)
+            if indent == 0:
+                list_.tag = list_type
+                if item_type == "checkbox" and "checklist" not in _classes(list_):
+                    list_.attrs["class"] = "checklist"
+            if indent > current_indent:
+                deeper = _Node(list_type, {})
+                host = stack[-1].children[-1] if stack[-1].children else None
+                if isinstance(host, _Node) and host.tag == "li":
+                    host.children.append(deeper)
+                else:
+                    stack[-1].children.append(deeper)
+                stack.append(deeper)
+            elif indent < current_indent:
+                del stack[indent + 1:]
+            current_indent = indent
+            item.attrs = {}
+            stack[-1].children.append(item)
+
+    # single checkboxes inside tables render as literal markers
+    def visit(children: list) -> None:
+        for child in children:
+            if (isinstance(child, _Node) and child.tag == "span"
+                    and "checkbox-component" in _classes(child)):
+                mark = "[x]" if "checked" in _classes(child) else "[ ]"
+                child.children = [mark]
+                child.attrs = {}
+
+    _walk(root.children, visit)
+
+
+def nimbus_streamline_tables(root: _Node) -> None:
+    """html_filter.py:347-374: drop footers, the A/B/... header row and
+    the two index columns of new-style nimbus tables (old-style tables
+    fail the sanity checks and pass through untouched)."""
+    for table in _find_all(root, "table"):
+        for tfoot in _find_all(table, "tfoot"):
+            tfoot.children = []
+            tfoot.tag = "x-removed"
+        rows = _find_all(table, "tr")
+
+        def cell_text(node: _Node) -> str:
+            parts: list[str] = []
+
+            def rec(n):
+                for c in n.children:
+                    if isinstance(c, str):
+                        parts.append(c)
+                    else:
+                        rec(c)
+
+            rec(node)
+            return "".join(parts).strip()
+
+        ok = True
+        for row_index, row in enumerate(rows):
+            cells = [c for c in row.children
+                     if isinstance(c, _Node) and c.tag == "td"]
+            for col_index, col in enumerate(cells):
+                text = cell_text(col)
+                if row_index == 0 and text and not text.isalpha():
+                    ok = False
+                if col_index in (0, 1) and row_index > 0 and text \
+                        and not text.isdigit():
+                    ok = False
+        if not ok:
+            continue
+        for row_index, row in enumerate(rows):
+            if row_index == 0:
+                row.children = []
+                row.tag = "x-removed"
+                continue
+            kept = []
+            td_seen = 0
+            for c in row.children:
+                if isinstance(c, _Node) and c.tag == "td":
+                    if td_seen >= 2:
+                        kept.append(c)
+                    td_seen += 1
+                else:
+                    kept.append(c)
+            row.children = kept
+
+
+def nimbus_strip_images(root: _Node) -> None:
+    """html_filter.py:377-383: drop inline SVG icons and file-size spans."""
+
+    def visit(children: list) -> None:
+        children[:] = [
+            c for c in children
+            if not (isinstance(c, _Node) and (
+                c.tag == "svg"
+                or (c.tag == "span" and "file-size" in _classes(c))
+            ))
+        ]
+
+    _walk(root.children, visit)
+
+
 # --- notion ----------------------------------------------------------------
 
 def notion_streamline_lists(root: _Node) -> None:
@@ -249,6 +407,9 @@ def upnote_streamline_checklists(root: _Node) -> None:
 FILTER_REGISTRY = {
     "nimbus_add_mark": nimbus_add_mark,
     "nimbus_add_note_links": nimbus_add_note_links,
+    "nimbus_streamline_lists": nimbus_streamline_lists,
+    "nimbus_streamline_tables": nimbus_streamline_tables,
+    "nimbus_strip_images": nimbus_strip_images,
     "notion_streamline_lists": notion_streamline_lists,
     "synology_fix_checklists": synology_fix_checklists,
     "synology_fix_img_src": synology_fix_img_src,

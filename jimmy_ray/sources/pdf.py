@@ -4,11 +4,13 @@ The reference uses the external ``pdf_oxide`` engine
 (/root/reference/src/jimmy/converter.py:295-306) — absent here, like
 every binary codec.  But *uncompressed* PDF is plain text per the public
 spec, so this module implements the honest subset: walk ``stream``
-objects without a ``/Filter``, scan ``BT … ET`` text blocks, and decode
-``(string) Tj`` / ``[(a) (b)] TJ`` show-text operators with PDF
-string-escape handling; ``Td``/``TD``/``T*`` line moves emit newlines.
-Compressed streams raise (the documented stub boundary — a real engine
-slots in behind the same stage interface).
+objects, scan ``BT … ET`` text blocks, and decode ``(string) Tj`` /
+``[(a) (b)] TJ`` show-text operators with PDF string-escape handling;
+``Td``/``TD``/``T*`` line moves emit newlines.  ``/FlateDecode``
+streams — which is what virtually every real-world PDF uses — inflate
+via stdlib ``zlib`` (RFC 1950, public spec); any *other* ``/Filter``
+still raises (the remaining stub boundary — a real engine slots in
+behind the same stage interface).
 
 The fixture synthesizes a minimal single-page PDF per document, so
 ``pdf_extract`` is a fully oracle-checked PDF→text pipeline.
@@ -62,14 +64,19 @@ def pdf_escape(text: str) -> str:
 
 
 def extract_pdf_text(payload: bytes) -> str:
-    """Uncompressed-stream text extraction; /Filter streams raise."""
+    """Stream text extraction; FlateDecode inflates via zlib, any other
+    /Filter raises (converter.py:295-306 covers them via pdf_oxide)."""
+    import zlib
+
     lines: list[str] = []
     for m in _STREAM_RE.finditer(payload):
         stream_dict, body = m.group(1), m.group(2)
         if b"/Filter" in stream_dict:
-            raise NotImplementedError(
-                "compressed PDF streams need a codec library"
-            )
+            if b"/FlateDecode" not in stream_dict:
+                raise NotImplementedError(
+                    "non-Flate PDF stream filters need a codec library"
+                )
+            body = zlib.decompress(body)
         for block in _TEXT_BLOCK_RE.finditer(body):
             current = ""
             for op in _OP_RE.finditer(block.group(1)):
@@ -87,17 +94,24 @@ def extract_pdf_text(payload: bytes) -> str:
     return "\n".join(lines)
 
 
-def synth_pdf(doc_id: int, text: str) -> bytes:
+def synth_pdf(doc_id: int, text: str, flate: bool = False) -> bytes:
+    import zlib
+
     content = (
         f"BT /F1 12 Tf 72 720 Td (Doc {doc_id}) Tj "
         f"0 -14 Td ({pdf_escape(text)}) Tj "
         f"0 -14 Td [(tail ) ({doc_id})] TJ ET"
     ).encode("utf-8")
+    if flate:
+        content = zlib.compress(content, 6)
+        filt = b"/Filter /FlateDecode "
+    else:
+        filt = b""
     objs = [
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
         b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
         b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
-        b"4 0 obj << /Length %d >>\nstream\n" % len(content)
+        b"4 0 obj << " + filt + b"/Length %d >>\nstream\n" % len(content)
         + content + b"\nendstream endobj",
     ]
     return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
@@ -110,8 +124,11 @@ def pdf_extract(sf_dir: str):
                            columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
+        # even doc_ids exercise the FlateDecode path, odd ones the raw
+        # path; extracted text is identical either way, so the SQL mirror
+        # is unchanged and the oracle covers both branches
         texts = [
-            extract_pdf_text(synth_pdf(i, t))
+            extract_pdf_text(synth_pdf(i, t, flate=(i % 2 == 0)))
             for i, t in zip(batch["doc_id"].to_pylist(),
                             batch["text"].to_pylist())
         ]

@@ -212,33 +212,194 @@ def filter_tags(sf_dir: str, exclude: tuple[str, ...] = ("common",)):
 
 # --- link resolution join (J1) ---------------------------------------------
 
-def link_resolution(sf_dir: str):
-    """Resolve wikilinks against the note-title map (broadcast join).
+def _note_map_partial(batch: pa.Table) -> pa.Table:
+    """Map side: pages whose markdown starts with an h1 title."""
+    urls, titles = [], []
+    for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+        title, _ = md_text.split_title_from_body(text)
+        if title:
+            urls.append(url)
+            titles.append(title)
+    return pa.table({"title": pa.array(titles, pa.string()),
+                     "url": pa.array(urls, pa.string())})
 
-    The map side (title -> url of the h1-titled note page, ties broken by
-    min url) is small — built once and captured by the stage closure
-    (ray.put-equivalent broadcast; at a larger map scale this becomes a
-    partitioned hash join on original_id, SURVEY.md §2.4 J1).  Broken
-    targets keep the reference's fallback form
-    ``[text](broken-link <id>)`` (writer.py:245-255).
+
+def _edge_replacement(link_text: str | None, target_title: str,
+                      fragment: str, is_embedded: bool,
+                      target_url: str | None) -> tuple[str, str]:
+    """(original wikilink string, markdown replacement) for one edge —
+    the per-link body of the reference's PathDeterminer probe
+    (writer.py:214-266, broken fallback :245-255)."""
+    original = md_links.make_wikilink(
+        link_text, target_title, is_embedded, fragment
+    )
+    text = link_text or target_title
+    if target_url is None:
+        replacement = f"[{text}](broken-link {target_title})"
+    else:
+        replacement = md_links.make_link(
+            text, target_url,
+            fragment=md_text.to_markdown_header_id(fragment),
+        )
+    return original, replacement
+
+
+def link_resolution(sf_dir: str, strategy: str = "join",
+                    num_partitions: int = 8):
+    """Resolve wikilinks against the note-title map (J1).
+
+    ``strategy="join"`` (default, the scale path): the wikilink edge
+    table hash-joins (left-outer) against the distributed title→url map,
+    per-edge replacements are folded per source page with the
+    coarse-bucket pattern, and a second hash join brings the page body to
+    its replacement list — no driver-side map, peak state = one bucket.
+
+    ``strategy="broadcast"`` (small-map fast path, the reference's
+    literal shape): the title→url map is collected once on the driver and
+    captured by the resolve closure, mirroring PathDeterminer's
+    ``note_id_map`` dict probe (writer.py:62,91-109).  Correct while the
+    titled-note count fits in one heap; the join path is the default
+    because at 10^12 pages it is not.
+
+    Both paths: ties on title break by min url, broken targets keep the
+    reference's fallback ``[text](broken-link <id>)`` (writer.py:245-255),
+    replacements apply in document link order, void links are scrubbed
+    after.  tests/test_api_sources.py asserts join ≡ broadcast.
     """
-    pages = _extracted_pages(sf_dir)
+    if strategy == "broadcast":
+        return _link_resolution_broadcast(sf_dir)
+    return _link_resolution_join(sf_dir, num_partitions)
 
-    # map side: pages whose markdown starts with an h1 title
-    def note_map_partial(batch: pa.Table) -> pa.Table:
-        urls, titles = [], []
+
+def _title_map_ds(pages):
+    """Distributed title -> min(url) map (coarse-bucket fold: titles are
+    high-cardinality, so bucket first and fold locally per bucket)."""
+    from jimmy_ray.functions.dedup import fnv64
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__b"] = batch["title"].map(lambda t: fnv64(t) % 64).astype("int64")
+        return batch
+
+    def local_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("title", as_index=False)["url"].min()
+        out.columns = ["title", "target_url"]
+        return out
+
+    return (
+        pages.map_batches(_note_map_partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(local_min, batch_format="pandas")
+    )
+
+
+def _link_resolution_join(sf_dir: str, num_partitions: int):
+    from jimmy_ray.functions.dedup import fnv64
+
+    pages = _extracted_pages(sf_dir)
+    title_map = _title_map_ds(pages)
+
+    # wikilink edge table: one row per (page, wikilink), position-indexed
+    # so replacements apply in document order exactly like the broadcast
+    # closure
+    def edges_batch(batch: pa.Table) -> pa.Table:
+        src, pos, texts, targets, frags, emb = [], [], [], [], [], []
         for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
-            title, _ = md_text.split_title_from_body(text)
-            if title:
-                urls.append(url)
-                titles.append(title)
-        return pa.table({"title": pa.array(titles, pa.string()),
-                         "url": pa.array(urls, pa.string())})
+            i = 0
+            for link in md_links.get_markdown_links(text):
+                if not link.is_wikilink:
+                    continue
+                src.append(url)
+                pos.append(i)
+                texts.append(link.text)
+                targets.append(link.url)
+                frags.append(link.fragment)
+                emb.append(link.is_embedded)
+                i += 1
+        return pa.table({
+            "src_url": pa.array(src, pa.string()),
+            "pos": pa.array(pos, pa.int64()),
+            "link_text": pa.array(texts, pa.string()),
+            "target_title": pa.array(targets, pa.string()),
+            "fragment": pa.array(frags, pa.string()),
+            "is_embedded": pa.array(emb, pa.bool_()),
+        })
+
+    edges = pages.map_batches(edges_batch, batch_format="pyarrow")
+
+    resolved_edges = edges.join(
+        title_map.select_columns(["title", "target_url"]),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("target_title",), right_on=("title",),
+    )
+
+    def make_repl(batch: pd.DataFrame) -> pd.DataFrame:
+        origs, repls = [], []
+        for lt, tt, fr, emb, tu in zip(
+            batch["link_text"], batch["target_title"], batch["fragment"],
+            batch["is_embedded"], batch["target_url"],
+        ):
+            o, r = _edge_replacement(
+                lt, tt, fr, bool(emb), None if pd.isna(tu) else tu
+            )
+            origs.append(o)
+            repls.append(r)
+        out = batch[["src_url", "pos"]].copy()
+        out["original"] = origs
+        out["replacement"] = repls
+        out["__b"] = out["src_url"].map(lambda u: fnv64(u) % 64).astype("int64")
+        return out
+
+    # fold replacements per page inside coarse url buckets, in link order;
+    # the (original, replacement) pair list is JSON-encoded into one string
+    # column because Arrow's hash join carries no list-typed payloads
+    import json
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src_url", "pos"], kind="stable")
+        agg = g.groupby("src_url").apply(
+            lambda rows: json.dumps(
+                list(zip(rows["original"], rows["replacement"]))),
+            include_groups=False,
+        ).reset_index()
+        agg.columns = ["src_url", "repl_json"]
+        return agg
+
+    per_page = (
+        resolved_edges.map_batches(make_repl, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(collect, batch_format="pandas")
+    )
+
+    # bring the body to its replacement list (pages without wikilinks drop
+    # out here, matching the broadcast path's output)
+    joined = pages.join(
+        per_page, join_type="inner", num_partitions=num_partitions,
+        on=("url",), right_on=("src_url",),
+    )
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        urls_out, bodies_out = [], []
+        for url, text, repl_json in zip(
+            batch["url"], batch["text"], batch["repl_json"],
+        ):
+            body = text
+            for o, r in json.loads(repl_json):
+                body = body.replace(o, r)
+            urls_out.append(url)
+            bodies_out.append(md_links.remove_void_links(body))
+        return pd.DataFrame({"url": urls_out, "resolved_body": bodies_out})
+
+    return joined.map_batches(apply, batch_format="pandas")
+
+
+def _link_resolution_broadcast(sf_dir: str):
+    pages = _extracted_pages(sf_dir)
 
     from ray.data.aggregate import Min
 
     map_df = (
-        pages.map_batches(note_map_partial, batch_format="pyarrow")
+        pages.map_batches(_note_map_partial, batch_format="pyarrow")
         .groupby("title")
         .aggregate(Min("url", alias_name="target_url"))
         .to_pandas()
@@ -253,18 +414,10 @@ def link_resolution(sf_dir: str):
                 continue
             body = text
             for link in wikilinks:
-                original = md_links.make_wikilink(
-                    link.text, link.url, link.is_embedded, link.fragment
+                original, replacement = _edge_replacement(
+                    link.text, link.url, link.fragment, link.is_embedded,
+                    note_id_map.get(link.url),
                 )
-                link_text = link.text or link.url
-                target = note_id_map.get(link.url)
-                if target is None:
-                    replacement = f"[{link_text}](broken-link {link.url})"
-                else:
-                    replacement = md_links.make_link(
-                        link_text, target,
-                        fragment=md_text.to_markdown_header_id(link.fragment),
-                    )
                 body = body.replace(original, replacement)
             body = md_links.remove_void_links(body)
             urls_out.append(url)

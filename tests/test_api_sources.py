@@ -163,7 +163,8 @@ def test_subprocess_stage_dead_letters_and_restarts():
 
 
 def test_pdf_extract_subset():
-    """S4 real-subset: escapes, TJ arrays, Td newlines; /Filter raises."""
+    """S4 real-subset: escapes, TJ arrays, Td newlines, FlateDecode;
+    non-Flate /Filter raises."""
     import pytest
 
     from jimmy_ray.sources.pdf import extract_pdf_text, synth_pdf
@@ -173,10 +174,13 @@ def test_pdf_extract_subset():
     # octal escape per the PDF spec
     pdf = synth_pdf(1, "x").replace(b"(x)", b"(\\101\\102)")
     assert "AB" in extract_pdf_text(pdf)
-    compressed = synth_pdf(1, "x").replace(
-        b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    # FlateDecode inflates and extracts identically to the raw stream
+    assert extract_pdf_text(synth_pdf(7, "zip me", flate=True)) == \
+        extract_pdf_text(synth_pdf(7, "zip me"))
+    other = synth_pdf(1, "x").replace(
+        b"<< /Length", b"<< /Filter /LZWDecode /Length")
     with pytest.raises(NotImplementedError):
-        extract_pdf_text(compressed)
+        extract_pdf_text(other)
 
 
 def test_dispatch_round2_formats():
@@ -202,3 +206,19 @@ def test_dispatch_round2_formats():
         "hello **b**", "Doc 1\npdf body\ntail 1", "*it* and `co`",
     ]
     assert out["error"].to_pylist() == [None, None, None]
+
+
+def test_link_resolution_join_equals_broadcast(ray_session):
+    """J1 scale path: the partitioned hash-join resolution must produce
+    byte-identical output to the reference-shaped broadcast closure."""
+    import pandas as pd
+
+    from jimmy_ray.stages import notes
+
+    sf = "/root/testdata/sf0.001"
+    a = (notes.link_resolution(sf, strategy="join")
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    b = (notes.link_resolution(sf, strategy="broadcast")
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
