@@ -252,6 +252,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nimbus_extract": lambda sf: __import__(
             "jimmy_ray.sources.nimbus", fromlist=["x"]
         ).nimbus_extract(sf),
+        # S8 long-tail sweep: Cacher / Clipto / Turtl / Reflect (JSON)
+        # and Dynalist / Zoho / Google Docs takeout / Anytype (folders)
+        "cacher_extract": lambda sf: __import__(
+            "jimmy_ray.sources.flatjson2", fromlist=["x"]
+        ).cacher_extract(sf),
+        "clipto_extract": lambda sf: __import__(
+            "jimmy_ray.sources.flatjson2", fromlist=["x"]
+        ).clipto_extract(sf),
+        "turtl_extract": lambda sf: __import__(
+            "jimmy_ray.sources.flatjson2", fromlist=["x"]
+        ).turtl_extract(sf),
+        "reflect_extract": lambda sf: __import__(
+            "jimmy_ray.sources.flatjson2", fromlist=["x"]
+        ).reflect_extract(sf),
+        "dynalist_extract": lambda sf: __import__(
+            "jimmy_ray.sources.folders", fromlist=["x"]
+        ).dynalist_extract(sf),
+        "zoho_extract": lambda sf: __import__(
+            "jimmy_ray.sources.folders", fromlist=["x"]
+        ).zoho_extract(sf),
+        "google_docs_extract": lambda sf: __import__(
+            "jimmy_ray.sources.folders", fromlist=["x"]
+        ).google_docs_extract(sf),
+        "anytype_extract": lambda sf: __import__(
+            "jimmy_ray.sources.folders", fromlist=["x"]
+        ).anytype_extract(sf),
+        # app-specific folder-of-markdown semantics (verdict r2 #10)
+        "obsidian_extract": lambda sf: __import__(
+            "jimmy_ray.sources.markdown_folders", fromlist=["x"]
+        ).obsidian_extract(sf),
+        "qownnotes_extract": lambda sf: __import__(
+            "jimmy_ray.sources.markdown_folders", fromlist=["x"]
+        ).qownnotes_extract(sf),
         # zkn3 zip (tag-id join) + Bear/textbundle bundles (S9/S11)
         "zettelkasten_extract": lambda sf: __import__(
             "jimmy_ray.sources.archives", fromlist=["x"]
@@ -585,6 +618,36 @@ def oracle_sql() -> dict[str, str]:
         "nimbus_extract": __import__(
             "jimmy_ray.sources.nimbus", fromlist=["x"]
         ).sql_nimbus_extract(),
+        "cacher_extract": __import__(
+            "jimmy_ray.sources.flatjson2", fromlist=["x"]
+        ).sql_cacher_extract(),
+        "clipto_extract": __import__(
+            "jimmy_ray.sources.flatjson2", fromlist=["x"]
+        ).sql_clipto_extract(),
+        "turtl_extract": __import__(
+            "jimmy_ray.sources.flatjson2", fromlist=["x"]
+        ).sql_turtl_extract(),
+        "reflect_extract": __import__(
+            "jimmy_ray.sources.flatjson2", fromlist=["x"]
+        ).sql_reflect_extract(),
+        "dynalist_extract": __import__(
+            "jimmy_ray.sources.folders", fromlist=["x"]
+        ).sql_dynalist_extract(),
+        "zoho_extract": __import__(
+            "jimmy_ray.sources.folders", fromlist=["x"]
+        ).sql_zoho_extract(),
+        "google_docs_extract": __import__(
+            "jimmy_ray.sources.folders", fromlist=["x"]
+        ).sql_google_docs_extract(),
+        "anytype_extract": __import__(
+            "jimmy_ray.sources.folders", fromlist=["x"]
+        ).sql_anytype_extract(),
+        "obsidian_extract": __import__(
+            "jimmy_ray.sources.markdown_folders", fromlist=["x"]
+        ).sql_obsidian_extract(),
+        "qownnotes_extract": __import__(
+            "jimmy_ray.sources.markdown_folders", fromlist=["x"]
+        ).sql_qownnotes_extract(),
         "zettelkasten_extract": __import__(
             "jimmy_ray.sources.archives", fromlist=["x"]
         ).sql_zettelkasten_extract(),
