@@ -348,6 +348,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "jimmy_ray.pipelines.wikitext_pipeline", fromlist=["x"]
         ).lexical_extract(sf),
         # stream-shaped windows over the events log (A2 / guide pattern)
+        # geo aggregate tier: zonal stats + density grid clustering
+        "polygon_stats": lambda sf: __import__(
+            "jimmy_ray.stages.geoagg", fromlist=["x"]
+        ).polygon_stats(sf),
+        "grid_cluster": lambda sf: __import__(
+            "jimmy_ray.stages.geoagg", fromlist=["x"]
+        ).grid_cluster(sf),
         "tumbling_window": windows.tumbling_window,
         "session_window": windows.session_window,
         "sliding_window": windows.sliding_window,
@@ -567,6 +574,12 @@ def oracle_sql() -> dict[str, str]:
             "  ON p1.doc_id = p8.doc_id - 1"
         ),
         "event_ts_ms": "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
+        "polygon_stats": __import__(
+            "jimmy_ray.stages.geoagg", fromlist=["x"]
+        ).sql_polygon_stats(_POINTS_CTE),
+        "grid_cluster": __import__(
+            "jimmy_ray.stages.geoagg", fromlist=["x"]
+        ).sql_grid_cluster(_POINTS_CTE),
         "eml_extract": __import__(
             "jimmy_ray.sources.eml", fromlist=["x"]
         ).sql_eml_extract(),

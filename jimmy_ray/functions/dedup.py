@@ -561,21 +561,60 @@ def dedup_edges(sf_dir: str):
     return base.union(bridges)
 
 
-def dedup_clusters(sf_dir: str, max_iters: int = 16, num_partitions: int = 8):
-    """Connected components over the duplicate-pair graph → one cluster
-    representative (min doc_id) per node — the dedup endgame: keep one
-    doc per duplicate GROUP, not per pair.
+def _local_components(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Union-find with path compression → (node, cluster_rep=min id)."""
+    parent: dict[int, int] = {}
 
-    Distributed min-label propagation: each round hash-joins the current
-    labels onto the symmetric edge list and folds with groupby(node).min
-    — labels monotonically decrease, so the driver-side convergence check
-    (sum of labels, one scalar per round) terminates in ≤ graph-diameter
-    rounds.  The DuckDB mirror is a recursive closure CTE.
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    rep: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        rep[root] = min(rep.get(root, node), node)
+    nodes = sorted(parent)
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "cluster_rep": pa.array([rep[find(n)] for n in nodes], pa.int64()),
+    })
+
+
+def min_label_components(edges, max_iters: int = 16,
+                         num_partitions: int = 8,
+                         local_threshold: int = 2_000_000):
+    """Distributed connected components over an (a, b) int64 edge list →
+    (node, cluster_rep) with rep = min node id of the component.
+
+    Graphs with ≤ ``local_threshold`` edges take the driver fast path
+    (union-find over the collected edge list — one bounded collect, like
+    every other small-side broadcast in this repo).  Above it, the scale
+    path runs min-label propagation with pointer jumping: each round
+    hash-joins the current labels onto the symmetric edge list, folds
+    with groupby(node).min, then pulls each label's own label (path
+    halving) — O(log diameter) rounds, one int64 checksum per round on
+    the driver.  Shared by dedup_clusters and the geo grid clustering;
+    tests assert both paths agree.
     """
-    import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
-    edges = dedup_edges(sf_dir)
+    edges = edges.materialize()
+    if local_threshold and edges.count() <= local_threshold:
+        import ray.data as rd
+
+        df = edges.to_pandas()
+        return rd.from_arrow(_local_components(
+            df["a"].to_numpy(dtype=np.int64),
+            df["b"].to_numpy(dtype=np.int64),
+        ))
 
     def symmetric(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
@@ -607,9 +646,33 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16, num_partitions: int = 8):
             lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
             batch_format="pyarrow",
         )
-        labels = labels.union(candidates).repartition(num_partitions) \
-            .groupby("node").aggregate(Min("label", alias_name="label")) \
-            .materialize()
+        folded = labels.union(candidates).repartition(num_partitions) \
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+        # pointer jumping (path halving): pull each label's own label —
+        # long chains collapse in O(log diameter) rounds instead of
+        # O(diameter), so big low-diameter-count graphs (grid blobs,
+        # dedup chains) converge in a handful of Ray rounds
+        jumped = folded.join(
+            folded.map_batches(
+                lambda t: pa.table({"jnode": t["node"], "jlabel": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("label",), right_on=("jnode",),
+        ).map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "label": pa.array(
+                    np.fmin(
+                        t["label"].to_numpy(zero_copy_only=False),
+                        t["jlabel"].to_numpy(zero_copy_only=False),
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        labels = jumped.materialize()
         cur = checksum(labels)
         if cur == prev:  # min-labels are monotone: fixpoint reached
             break
@@ -618,6 +681,15 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16, num_partitions: int = 8):
         lambda t: pa.table({"node": t["node"], "cluster_rep": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+def dedup_clusters(sf_dir: str, max_iters: int = 16, num_partitions: int = 8):
+    """Connected components over the duplicate-pair graph → one cluster
+    representative (min doc_id) per node — the dedup endgame: keep one
+    doc per duplicate GROUP, not per pair.  The DuckDB mirror is a
+    recursive closure CTE."""
+    return min_label_components(dedup_edges(sf_dir), max_iters,
+                                num_partitions)
 
 
 def sql_dedup_clusters() -> str:

@@ -130,3 +130,27 @@ def test_multimodal_features(ray_session):
     assert (df["n_bytes"] > len(multimodal.MAGIC)).all()
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"FAKEIMGxxx")
+
+
+def test_min_label_components_local_equals_distributed(ray_session):
+    """The driver union-find fast path and the distributed min-label
+    propagation (pointer-jumping) loop must produce identical labels."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jimmy_ray.functions.dedup import min_label_components
+
+    # two chains, a ring, a singleton self-edge, and a bridge
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 10, 11, 20, 21, 22, 30, 3], pa.int64()),
+        "b": pa.array([2, 3, 4, 11, 12, 21, 22, 20, 30, 10], pa.int64()),
+    }))
+    local = min_label_components(edges).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    dist = min_label_components(edges, local_threshold=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(local, dist)
+    rep = dict(zip(local["node"], local["cluster_rep"]))
+    assert rep[4] == 1 and rep[12] == 1 and rep[10] == 1  # bridged chains
+    assert rep[22] == 20 and rep[30] == 30
