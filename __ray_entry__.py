@@ -285,6 +285,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qownnotes_extract": lambda sf: __import__(
             "jimmy_ray.sources.markdown_folders", fromlist=["x"]
         ).qownnotes_extract(sf),
+        # env-blocked-decoder formats, conversion semantics ported over
+        # the decoded shapes (sigexport / pycrdt / one2html boundaries)
+        "signal_extract": lambda sf: __import__(
+            "jimmy_ray.sources.signal_chats", fromlist=["x"]
+        ).signal_extract(sf),
+        "affine_extract": lambda sf: __import__(
+            "jimmy_ray.sources.affine", fromlist=["x"]
+        ).affine_extract(sf),
+        "onenote_extract": lambda sf: __import__(
+            "jimmy_ray.sources.onenote", fromlist=["x"]
+        ).onenote_extract(sf),
         # zkn3 zip (tag-id join) + Bear/textbundle bundles (S9/S11)
         "zettelkasten_extract": lambda sf: __import__(
             "jimmy_ray.sources.archives", fromlist=["x"]
@@ -661,6 +672,15 @@ def oracle_sql() -> dict[str, str]:
         "qownnotes_extract": __import__(
             "jimmy_ray.sources.markdown_folders", fromlist=["x"]
         ).sql_qownnotes_extract(),
+        "signal_extract": __import__(
+            "jimmy_ray.sources.signal_chats", fromlist=["x"]
+        ).sql_signal_extract(),
+        "affine_extract": __import__(
+            "jimmy_ray.sources.affine", fromlist=["x"]
+        ).sql_affine_extract(),
+        "onenote_extract": __import__(
+            "jimmy_ray.sources.onenote", fromlist=["x"]
+        ).sql_onenote_extract(),
         "zettelkasten_extract": __import__(
             "jimmy_ray.sources.archives", fromlist=["x"]
         ).sql_zettelkasten_extract(),
