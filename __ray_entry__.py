@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup_pairs,
         # connected-components clustering over the pair graph (dedup endgame)
         "dedup_clusters": dedup.dedup_clusters,
+        # end-to-end near-dedup: pairs -> components -> keep-one -> filter
+        "near_dedup_corpus": dedup.near_dedup_corpus,
         "simhash_dedup": dedup.simhash_dedup_pairs,
         # similarity search over embeddings
         "ann_topk": simsearch.ann_topk,
@@ -762,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(),
         "dedup_clusters": dedup.sql_dedup_clusters(),
+        "near_dedup_corpus": dedup.sql_near_dedup_corpus(),
         "ann_topk": simsearch.sql_ann_topk(),
         "multimodal_features": multimodal.sql_media_features(),
         "image_features": multimodal.sql_image_features(),

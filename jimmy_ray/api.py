@@ -149,6 +149,20 @@ def _inline_tags() -> StageDef:
     return StageDef(notes.tags_batch, batch_size=512)
 
 
+@stage("polygon_stats_partial")
+def _polygon_stats_partial() -> StageDef:
+    from jimmy_ray.stages import geoagg
+
+    return StageDef(geoagg.polygon_stats_partial, batch_size=8192)
+
+
+@stage("cell_counts")
+def _cell_counts() -> StageDef:
+    from jimmy_ray.stages import geoagg
+
+    return StageDef(geoagg._cell_count_partial, batch_size=16384)
+
+
 @stage("text_stats")
 def _text_stats() -> StageDef:
     from jimmy_ray.functions import textstats

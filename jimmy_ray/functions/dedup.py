@@ -714,3 +714,73 @@ reach(node, label) AS (
 )
 SELECT node, MIN(label) AS cluster_rep FROM reach GROUP BY node
 """
+
+
+# --- end-to-end near-dedup (pairs → components → keep-one → filter) --------
+
+def near_dedup_corpus(sf_dir: str, tau: float = 0.8,
+                      num_partitions: int = 8):
+    """The near-dedup endgame as one composed pipeline: exact-Jaccard
+    pairs (the oracle path — at 10^12 docs swap `minhash_dedup_pairs`
+    in, it emits the same (a, b) shape) → connected components → keep
+    the min doc_id per duplicate group → filter the corpus to the keep
+    set.  Survivors = docs in no pair, plus each component's rep.
+    """
+    import ray.data as rd
+
+    pairs = ngram_jaccard_pairs(sf_dir, tau, num_partitions).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    )
+    labels = min_label_components(pairs, num_partitions=num_partitions)
+
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(mutated_corpus_batch, batch_format="pyarrow")
+
+    joined = corpus.join(
+        labels, join_type="left_outer", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("node",),
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        rep = batch["cluster_rep"].to_numpy(zero_copy_only=False)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(np.isnan(rep.astype(np.float64)) | (rep == doc))
+        return batch.select(["doc_id", "text"]).filter(keep)
+
+    return joined.map_batches(survivors, batch_format="pyarrow")
+
+
+def sql_near_dedup_corpus(tau: float = 0.8) -> str:
+    return f"""
+WITH RECURSIVE {SQL_CORPUS_CTE},
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT inter.a, inter.b FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.a
+  JOIN cnt cb ON cb.doc_id = inter.b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {tau}
+),
+edges(src, dst) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nodes(node) AS (SELECT DISTINCT src FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, MIN(label) AS rep FROM reach GROUP BY node)
+SELECT c.doc_id, c.text FROM corpus c
+LEFT JOIN labels l ON l.node = c.doc_id
+WHERE l.rep IS NULL OR l.rep = c.doc_id
+"""
