@@ -88,7 +88,7 @@ def run_bench() -> dict:
     warm.map_batches(sp.spatial_join_batch, batch_format="pyarrow",
                      batch_size=32768).count()
     rd.read_parquet(pages_dir).limit(20000).map_batches(
-        ex.extract_markdown_batch, batch_format="pyarrow", batch_size=256
+        ex.extract_markdown_batch, batch_format="pyarrow", batch_size=512
     ).count()
 
     timings: dict[str, float] = {}
@@ -111,7 +111,7 @@ def run_bench() -> dict:
 
     # q1: extraction map_batches (the jimmy-parity stage)
     timed("extract", lambda: pages_ds().map_batches(
-        ex.extract_markdown_batch, batch_format="pyarrow", batch_size=256
+        ex.extract_markdown_batch, batch_format="pyarrow", batch_size=512
     ).count())
 
     # q2: geocode + cell/tile assignment + partial-agg tile counts

@@ -96,7 +96,7 @@ def compile_pipeline(source_ds, spec: list[dict]):
 def _extract_markdown() -> StageDef:
     from jimmy_ray.stages import extract as ex
 
-    return StageDef(ex.extract_markdown_batch, batch_size=256)
+    return StageDef(ex.extract_markdown_batch, batch_size=512)
 
 
 @stage("geocode")

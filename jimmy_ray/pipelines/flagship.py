@@ -22,7 +22,7 @@ def pages(sf_dir: str):
 def extracted(sf_dir: str):
     """Extraction stage output: (url, warc_ts, lang, title, text, error)."""
     return pages(sf_dir).map_batches(
-        ex.extract_markdown_batch, batch_format="pyarrow", batch_size=256
+        ex.extract_markdown_batch, batch_format="pyarrow", batch_size=512
     )
 
 
