@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_ann_lsh": simsearch.ann_topk_lsh,
         "embedding_ann_ivf": simsearch.ann_topk_ivf,
         "embedding_dup_pairs": simsearch.embedding_dup_pairs,
+        "embedding_dedup_corpus": simsearch.embedding_dedup_corpus,
         # mergeable sketches (approximate; no SQL oracle by design)
         "approx_distinct_tokens": lambda sf: __import__(
             "jimmy_ray.functions.sketches", fromlist=["x"]

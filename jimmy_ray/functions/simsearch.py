@@ -384,3 +384,42 @@ def embedding_dup_pairs(sf_dir: str, tau: float = 0.95):
                                              batch_format="pandas")
     # same pair found in several tables → one row (sim identical everywhere)
     return pair_grouped(pairs, "sim", "max", "sim")
+
+
+def embedding_dedup_corpus(sf_dir: str, tau: float = 0.95,
+                           num_partitions: int = 8):
+    """Embedding-modality dedup endgame: cosine ≥ tau pairs (LSH-bucketed)
+    → connected components → keep min vec_id per duplicate group → filter
+    the replicated corpus to the keep set.  Mirrors near_dedup_corpus on
+    the text side; rows-only check (cosine pairs are float-approx by
+    design)."""
+    import ray.data as rd
+
+    from jimmy_ray.functions.dedup import min_label_components
+
+    pairs = embedding_dup_pairs(sf_dir, tau).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    )
+    labels = min_label_components(pairs, num_partitions=num_partitions)
+
+    def replicate_ids(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        return pa.table({"vec_id": pa.array(
+            np.concatenate([ids, ids + REPLICA_OFFSET]), pa.int64())})
+
+    corpus = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(replicate_ids, batch_format="pyarrow")
+
+    joined = corpus.join(
+        labels, join_type="left_outer", num_partitions=num_partitions,
+        on=("vec_id",), right_on=("node",),
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        rep = batch["cluster_rep"].to_numpy(zero_copy_only=False)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(np.isnan(rep.astype(np.float64)) | (rep == vid))
+        return batch.select(["vec_id"]).filter(keep)
+
+    return joined.map_batches(survivors, batch_format="pyarrow")

@@ -154,3 +154,21 @@ def test_min_label_components_local_equals_distributed(ray_session):
     rep = dict(zip(local["node"], local["cluster_rep"]))
     assert rep[4] == 1 and rep[12] == 1 and rep[10] == 1  # bridged chains
     assert rep[22] == 20 and rep[30] == 30
+
+
+def test_embedding_dedup_corpus_keeps_one_per_replica_pair(ray_session):
+    """Every vector pairs with its noisy replica at tau=0.95, so the
+    surviving set is exactly the original vec_ids (min of each pair)."""
+    from jimmy_ray.functions.simsearch import (
+        REPLICA_OFFSET, embedding_dedup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = set(embedding_dedup_corpus(sf).to_pandas()["vec_id"])
+    assert kept, "no survivors"
+    assert all(v < REPLICA_OFFSET for v in kept)
+    import pyarrow.parquet as pq
+
+    orig = set(pq.read_table(f"{sf}/embeddings.parquet",
+                             columns=["vec_id"])["vec_id"].to_pylist())
+    assert kept == orig

@@ -41,7 +41,7 @@ def test_every_query_has_oracle_or_is_documented():
     allowed_without_oracle = {
         "hexcell_index", "s2_cells", "knn_hex_pruned", "minhash_dedup",
         "simhash_dedup", "embedding_ann_lsh", "embedding_ann_ivf",
-        "embedding_dup_pairs", "fuzzy_title_match",
+        "embedding_dup_pairs", "embedding_dedup_corpus", "fuzzy_title_match",
         "approx_distinct_tokens", "heavy_hitter_tokens",
         "doc_length_quantiles",  # mergeable sketch: approximate by design
     }
