@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_join": relational.orders_join,
         "q_lineitem_orders_join": relational.lineitem_orders_join,
         "q_top_orders": relational.top_orders,
+        # as-of join (Ray Data lacks one): hash-bucket colocation +
+        # vectorized per-bucket merge_asof
+        "asof_join": relational.asof_join_events_orders,
+        "range_join": relational.range_join_events_orders,
         # text analysis (training-data tier)
         "text_stats": lambda sf: __import__(
             "ray.data", fromlist=["read_parquet"]
@@ -377,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from jimmy_ray.functions import dedup, simsearch, textstats
+    from jimmy_ray.pipelines import relational
     from jimmy_ray.stages import multimodal, windows
 
     edges = poly_mod.sql_polygon_edges()
@@ -468,6 +473,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
+        "asof_join": relational.sql_asof_join_events_orders(),
+        "range_join": relational.sql_range_join_events_orders(),
         "extract_links": (
             f"{_PAGES_CTE}\n"
             "SELECT src_url, text, url, fragment, is_image, is_wikilink FROM (\n"
