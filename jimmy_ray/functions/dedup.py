@@ -152,7 +152,13 @@ def pair_grouped(ds, value_col: str, how: str, out_col: str, n_buckets: int = 64
 
 
 def _add_shingle_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-    batch["bucket"] = batch["s"].map(lambda s: fnv64(s) % N_PAIR_BUCKETS).astype(np.int64)
+    # bucket ids are run-internal (the oracle never sees them), so the
+    # vectorized C siphash replaces per-row Python fnv64 — deterministic
+    # across processes (fixed pandas hash key), same shingle → same bucket
+    batch["bucket"] = (
+        pd.util.hash_array(batch["s"].to_numpy(dtype=object))
+        % N_PAIR_BUCKETS
+    ).astype(np.int64)
     return batch
 
 
@@ -271,7 +277,10 @@ WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {tau}
 def minhash_sig(shingle_list: list[str]) -> np.ndarray | None:
     if not shingle_list:
         return None
-    hashes = np.array([fnv64(s) % _P31 for s in shingle_list], dtype=np.uint64)
+    hashes = (
+        pd.util.hash_array(np.array(shingle_list, dtype=object))
+        % np.uint64(_P31)
+    )  # vectorized C siphash; run-internal, any good hash works
     # (S, P) permuted hashes, min over shingles — vectorized uint64
     perm = (hashes[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % np.uint64(_P31)
     return perm.min(axis=0).astype(np.int64)
@@ -287,11 +296,13 @@ def minhash_band_batch(batch: pa.Table) -> pa.Table:
         sig = minhash_sig(shingles(text))
         if sig is None:
             continue
-        for band in range(N_BANDS):
-            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-            bids.append(band)
-            bhashes.append(fnv64(",".join(str(int(v)) for v in chunk)))
-            ids.append(doc_id)
+        sigm = sig.reshape(N_BANDS, rows_per_band).astype(np.uint64)
+        bh = np.full(N_BANDS, 0xCBF29CE484222325, np.uint64)
+        for j in range(rows_per_band):  # 4 vectorized FNV-mix rounds
+            bh = (bh ^ sigm[:, j]) * np.uint64(0x100000001B3)
+        bids.extend(range(N_BANDS))
+        bhashes.extend(int(v) for v in bh)
+        ids.extend([doc_id] * N_BANDS)
     return pa.table(
         {
             "band_id": pa.array(bids, pa.int64()),
