@@ -437,7 +437,7 @@ def simhash64(text: str) -> int:
     toks = TOKEN_RE.findall(text.lower())
     if not toks:
         return 0
-    hashes = np.array([fnv64(t) for t in toks], dtype=np.uint64)
+    hashes = pd.util.hash_array(np.array(toks, dtype=object))
     bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = np.uint64(0)

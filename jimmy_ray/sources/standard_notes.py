@@ -119,11 +119,10 @@ def standard_notes_extract(sf_dir: str, num_partitions: int = 8):
     # Ray's per-group dispatch cost at high cardinality — see
     # jimmy_ray.functions.dedup.pair_grouped for the measured rationale)
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        from jimmy_ray.functions.dedup import fnv64
-
         # process-stable hash: rows of one uuid may be bucketed in
         # different workers, so python's randomized hash() would split them
-        batch["__b"] = batch["uuid"].map(lambda u: fnv64(u) % 64)
+        batch["__b"] = pd.util.hash_array(
+            batch["uuid"].to_numpy(dtype=object)) % 64
         return batch
 
     def fold(group: pd.DataFrame) -> pd.DataFrame:

@@ -274,10 +274,10 @@ def link_resolution(sf_dir: str, strategy: str = "join",
 def _title_map_ds(pages):
     """Distributed title -> min(url) map (coarse-bucket fold: titles are
     high-cardinality, so bucket first and fold locally per bucket)."""
-    from jimmy_ray.functions.dedup import fnv64
-
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["__b"] = batch["title"].map(lambda t: fnv64(t) % 64).astype("int64")
+        batch["__b"] = (
+            pd.util.hash_array(batch["title"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
         return batch
 
     def local_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -294,8 +294,6 @@ def _title_map_ds(pages):
 
 
 def _link_resolution_join(sf_dir: str, num_partitions: int):
-    from jimmy_ray.functions.dedup import fnv64
-
     pages = _extracted_pages(sf_dir)
     title_map = _title_map_ds(pages)
 
@@ -347,7 +345,9 @@ def _link_resolution_join(sf_dir: str, num_partitions: int):
         out = batch[["src_url", "pos"]].copy()
         out["original"] = origs
         out["replacement"] = repls
-        out["__b"] = out["src_url"].map(lambda u: fnv64(u) % 64).astype("int64")
+        out["__b"] = (
+            pd.util.hash_array(out["src_url"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
         return out
 
     # fold replacements per page inside coarse url buckets, in link order;
@@ -495,10 +495,10 @@ def filter_notes_by_tag(sf_dir: str, include: tuple[str, ...] = ("tag1*",),
     inc = _re.compile("|".join(_fn.translate(g) for g in include))
     exc = _re.compile("|".join(_fn.translate(g) for g in exclude))
 
-    from jimmy_ray.functions.dedup import fnv64
-
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["__b"] = batch["url"].map(lambda u: fnv64(u) % 64).astype("int64")
+        batch["__b"] = (
+            pd.util.hash_array(batch["url"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
         return batch
 
     def fold(batch: pd.DataFrame) -> pd.DataFrame:
