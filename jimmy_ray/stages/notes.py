@@ -125,14 +125,18 @@ def safe_paths(sf_dir: str):
 # --- glob filters (F1/F2, filters.py:8-41) ---------------------------------
 
 def filter_notes(sf_dir: str, include: tuple[str, ...] = ("Doc 1*",)):
-    """Include-by-title glob filter; globs compile to a vectorized regex."""
-    import re
+    """Include-by-title glob filter, fully vectorized: the fnmatch
+    regexes run through Arrow's re2 kernel (``\\Z`` → re2's ``\\z``,
+    same anchor semantics — equivalence asserted in tests)."""
+    import pyarrow.compute as pc
 
-    pattern = re.compile("|".join(fnmatch.translate(g) for g in include))
+    pattern = "^(?:" + "|".join(
+        fnmatch.translate(g) for g in include
+    ).replace("\\Z", "\\z") + ")"
 
     def fn(batch: pa.Table) -> pa.Table:
-        keep = [bool(pattern.match(t)) for t in batch["title"].to_pylist()]
-        return batch.filter(pa.array(keep)).select(["url", "title"])
+        keep = pc.match_substring_regex(batch["title"], pattern)
+        return batch.filter(keep).select(["url", "title"])
 
     return _extracted_pages(sf_dir).map_batches(fn, batch_format="pyarrow")
 
@@ -201,11 +205,15 @@ def filter_tags(sf_dir: str, exclude: tuple[str, ...] = ("common",)):
     import fnmatch as _fn
     import re as _re
 
-    pattern = _re.compile("|".join(_fn.translate(g) for g in exclude))
+    import pyarrow.compute as pc
+
+    pattern = "^(?:" + "|".join(
+        _fn.translate(g) for g in exclude
+    ).replace("\\Z", "\\z") + ")"
 
     def fn(batch: pa.Table) -> pa.Table:
-        keep = [not pattern.match(t) for t in batch["tag"].to_pylist()]
-        return batch.filter(pa.array(keep))
+        keep = pc.invert(pc.match_substring_regex(batch["tag"], pattern))
+        return batch.filter(keep)
 
     return inline_tags(sf_dir).map_batches(fn, batch_format="pyarrow")
 

@@ -78,3 +78,22 @@ def test_fuzzy_best_match_reference_semantics():
     stage = FuzzyTitleMatchStage(["a", "b", "c"])
     assert stage.best_match("b")[0] == "b"
     assert stage.best_match("d")[0] is None
+
+
+def test_glob_regex_re2_matches_python():
+    """The \\Z→\\z substitution keeps Arrow's re2 kernel byte-equivalent
+    to Python's re for fnmatch-translated globs (filter_notes/filter_tags)."""
+    import fnmatch
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    globs = ("Doc 1*", "B?x[abc]*", "*tail", "exact")
+    values = pa.array(["Doc 1x", "Doc 2", "doc 1", "Bqxa t", "Bqxz",
+                       "a tail", "tail", "exact", "exactly", ""])
+    pat = "|".join(fnmatch.translate(g) for g in globs)
+    py = [bool(re.compile(pat).match(v)) for v in values.to_pylist()]
+    re2 = pc.match_substring_regex(
+        values, "^(?:" + pat.replace("\\Z", "\\z") + ")").to_pylist()
+    assert re2 == py
