@@ -173,37 +173,10 @@ def run_bench() -> dict:
         Max("p_max_lat", alias_name="max_lat_e6"),
     ).count())
 
-    # q9: density grid clustering over the full point set (cell counts →
-    # core cells → adjacency join → connected components)
-    def _grid_cluster():
-        import pyarrow.compute as pc
-
-        from jimmy_ray.functions.dedup import min_label_components
-
-        occupied = points_ds().map_batches(
-            geoagg._cell_count_partial, batch_format="pyarrow",
-            batch_size=32768,
-        ).repartition(8).groupby("cell").aggregate(
-            Sum("p_n", alias_name="n")
-        ).map_batches(
-            lambda t: t.filter(pc.greater_equal(t["n"], geoagg.MIN_PTS))
-            .select(["cell"]),
-            batch_format="pyarrow",
-        ).materialize()
-        edges = occupied.map_batches(
-            geoagg._neighbor_edges_batch, batch_format="pyarrow",
-            batch_size=32768,
-        ).join(
-            occupied.map_batches(
-                lambda t: _pa.table({"b_cell": t["cell"]}),
-                batch_format="pyarrow",
-            ),
-            join_type="inner", num_partitions=8,
-            on=("b",), right_on=("b_cell",),
-        ).select_columns(["a", "b"])
-        return min_label_components(edges).count()
-
-    timed("grid_cluster", _grid_cluster)
+    # q9: density grid clustering over the full point set (shared core:
+    # cell counts → core cells → adjacency join → connected components)
+    timed("grid_cluster", lambda: geoagg.grid_cluster_from_points(
+        points_ds(), batch_size=32768).count())
 
     # q7: LLM-tier quality stats over the full pages text column
     from jimmy_ray.functions import textstats as ts

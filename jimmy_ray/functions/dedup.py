@@ -68,6 +68,14 @@ def shingles(text: str, n: int = 3) -> list[str]:
     return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
 
 
+def shingle_count(text: str, n: int = 3) -> int:
+    """Distinct-shingle count without materializing the sorted list."""
+    toks = TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        return 0
+    return len({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
 # --- corpus with injected near-dups ----------------------------------------
 
 def mutated_corpus_batch(batch: pa.Table) -> pa.Table:
@@ -194,7 +202,7 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.8,
 
     def count_batch(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        ns = [len(shingles(t)) for t in batch["text"].to_pylist()]
+        ns = [shingle_count(t) for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n": pa.array(ns, pa.int64())})
 

@@ -160,6 +160,8 @@ def nimbus_streamline_lists(root: _Node) -> None:
                 if item_type == "checkbox" and "checklist" not in _classes(list_):
                     list_.attrs["class"] = "checklist"
             if indent > current_indent:
+                # one nested list per item regardless of the indent jump
+                # (html_filter.py:318-323 appends a single new child list)
                 deeper = _Node(list_type, {})
                 host = stack[-1].children[-1] if stack[-1].children else None
                 if isinstance(host, _Node) and host.tag == "li":
@@ -168,7 +170,12 @@ def nimbus_streamline_lists(root: _Node) -> None:
                     stack[-1].children.append(deeper)
                 stack.append(deeper)
             elif indent < current_indent:
-                del stack[indent + 1:]
+                # walk up (current - indent) parent lists, exactly like
+                # the reference (:329-333) — indent VALUES can skip
+                # levels, so they are not stack indices
+                for _ in range(current_indent - indent):
+                    if len(stack) > 1:
+                        stack.pop()
             current_indent = indent
             item.attrs = {}
             stack[-1].children.append(item)

@@ -137,7 +137,7 @@ class EnexMarkdownBuilder:
                 self._sink().append(marker)
         elif tag == "hr":
             self._nl(2)
-            self.out.append("---")
+            self._sink().append("---")
             self._nl(2)
         elif tag == "img":
             src = attrib.get("src")
@@ -154,10 +154,10 @@ class EnexMarkdownBuilder:
         elif tag == "en-todo":
             checked = attrib.get("checked") in (True, "true")
             if self.lists and self.lists[-1] == "ul":
-                self.out.append("[x] " if checked else "[ ] ")
+                self._sink().append("[x] " if checked else "[ ] ")
             else:
                 self._nl(2)
-                self.out.append("- [x] " if checked else "- [ ] ")
+                self._sink().append("- [x] " if checked else "- [ ] ")
         elif tag in ("ol", "ul"):
             self._nl(2)
             self.lists.append(tag)
@@ -169,7 +169,7 @@ class EnexMarkdownBuilder:
                 bullet = "- [ ] "
             else:
                 bullet = "1. " if self.lists and self.lists[-1] == "ol" else "- "
-            self.out.append(" " * 4 * (max(len(self.lists), 1) - 1) + bullet)
+            self._sink().append(" " * 4 * (max(len(self.lists), 1) - 1) + bullet)
         elif tag == "th":
             self._row_is_header = True
         self._apply_attr_formatting(attrib)
@@ -185,14 +185,14 @@ class EnexMarkdownBuilder:
                 if prop in ("-en-codeblock", "--en-codeblock"):
                     if value == "true":
                         self._nl(2)
-                        self.out.append("```")
+                        self._sink().append("```")
                         self._nl(1)
                         self.fmt.setdefault("codeblock", self.depth)
                 elif prop == "-evernote-highlight":
                     if value == "true":
                         self._open_fmt("bold")
                 elif prop == "--en-id":
-                    self.out.append(f"tasklist://{value}")
+                    self._sink().append(f"tasklist://{value}")
                 elif prop == "font-family":
                     if value == "monospace":
                         self._open_fmt("code")

@@ -211,21 +211,18 @@ def asof_join_events_orders(sf_dir: str, n_buckets: int = 64):
             })
         ev = ev.sort_values(["t_us", "event_id"], kind="mergesort")
         od = od.sort_values(["t_us", "o_orderkey"], kind="mergesort")
+        # duplicate the order timestamp so it rides the merge — no
+        # post-hoc lookup needed
+        od["order_ts_us"] = od["t_us"]
         m = pd.merge_asof(ev, od, on="t_us", by="key",
                           direction="backward",
                           suffixes=("", "_o"))
-        # merge_asof drops the right-side timestamp; re-join it by key
-        od_idx = od.set_index(["key", "o_orderkey"])["t_us"]
-        order_ts = [
-            od_idx.get((k, ok)) if pd.notna(ok) else None
-            for k, ok in zip(m["key"], m["o_orderkey"])
-        ]
         return pd.DataFrame({
             "event_id": m["event_id"].astype(np.int64),
             "user_id": m["key"].astype(np.int64),
             "ts_us": m["t_us"].astype(np.int64),
             "o_orderkey": m["o_orderkey"].astype("Int64"),
-            "order_ts_us": pd.array(order_ts, dtype="Int64"),
+            "order_ts_us": m["order_ts_us"].astype("Int64"),
         })
 
     return (
@@ -317,7 +314,10 @@ def range_join_events_orders(sf_dir: str, n_buckets: int = 64):
             else:
                 ots = osub["t_us"].to_numpy()
                 oks = osub["row_id"].to_numpy()
-                lo = np.searchsorted(ots, ets - RANGE_WINDOW_US, side="left")
+                # window is strict at the lower edge (SQL mirror:
+                # o_orderdate > ts - W), inclusive at the upper —
+                # side="right" on the lower bound excludes t == ts - W
+                lo = np.searchsorted(ots, ets - RANGE_WINDOW_US, side="right")
                 hi = np.searchsorted(ots, ets, side="right")
                 n = (hi - lo).astype(np.int64)
                 # exact per-window slice-min, fully vectorized: reduceat

@@ -29,14 +29,9 @@ FIELD_NAMES = ("Front", "Back")
 def _fixture_db(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
-    # cache key includes a content fingerprint of documents.parquet so a
-    # regenerated fixture or a same-basename sibling tree never collides
-    # (ADVICE r2 low #2)
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
-           f"_{st.st_size}_{st.st_mtime_ns}")
-    db = f"/tmp/jimmy_ray_anki_{tag}.anki2"
+    from jimmy_ray.sources.fixturecache import cache_path
+
+    db = cache_path(sf_dir, "jimmy_ray_anki", ".anki2")
     if os.path.exists(db):
         return db
     docs = pq.read_table(f"{sf_dir}/documents.parquet",

@@ -182,14 +182,13 @@ def _fixture_tag_db(sf_dir: str) -> str:
     fingerprint like the anki fixture."""
     import pyarrow.parquet as pq
 
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
-           f"_{st.st_size}_{st.st_mtime_ns}")
-    db = f"/tmp/jimmy_ray_qon_{tag}.sqlite"
+    from jimmy_ray.sources.fixturecache import cache_path
+
+    db = cache_path(sf_dir, "jimmy_ray_qon", ".sqlite")
     if os.path.exists(db):
         return db
-    ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
     tmp = db + f".tmp.{os.getpid()}"
     con = sqlite3.connect(tmp)
     con.execute("CREATE TABLE appData (name TEXT, value TEXT)")

@@ -81,6 +81,7 @@ def polygon_stats(sf_dir: str):
         _points(sf_dir)
         .map_batches(polygon_stats_partial, batch_format="pyarrow",
                      batch_size=8192)
+        .repartition(8)  # coalesce tiny per-batch partials (CLAUDE.md)
         .groupby("polygon_id")
         .aggregate(
             Sum("p_n", alias_name="n_pages"),
@@ -152,10 +153,13 @@ def _neighbor_edges_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def grid_cluster(sf_dir: str, min_pts: int = MIN_PTS,
-                 num_partitions: int = 8):
-    """Core cells (count ≥ min_pts) labeled by connected component over
-    the 8-neighborhood graph → (cell_id, cluster_rep)."""
+def grid_cluster_from_points(points_ds, min_pts: int = MIN_PTS,
+                             num_partitions: int = 8,
+                             batch_size: int = 16384):
+    """Core of the density clustering over any (lat_e6, lon_e6) dataset:
+    core cells (count ≥ min_pts) labeled by connected component over the
+    8-neighborhood graph → (cell_id, cluster_rep).  Shared by the
+    oracle-checked query and the benchmark."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
@@ -163,9 +167,9 @@ def grid_cluster(sf_dir: str, min_pts: int = MIN_PTS,
     from jimmy_ray.functions.dedup import min_label_components
 
     occupied = (
-        _points(sf_dir)
+        points_ds
         .map_batches(_cell_count_partial, batch_format="pyarrow",
-                     batch_size=16384)
+                     batch_size=batch_size)
         .repartition(num_partitions)
         .groupby("cell")
         .aggregate(Sum("p_n", alias_name="n"))
@@ -178,7 +182,7 @@ def grid_cluster(sf_dir: str, min_pts: int = MIN_PTS,
     )
 
     candidate_edges = occupied.map_batches(
-        _neighbor_edges_batch, batch_format="pyarrow", batch_size=16384
+        _neighbor_edges_batch, batch_format="pyarrow", batch_size=batch_size
     )
     # keep only edges whose far end is itself an occupied core cell
     # (self-edges survive, so singleton cells still get a label)
@@ -197,6 +201,12 @@ def grid_cluster(sf_dir: str, min_pts: int = MIN_PTS,
                             "cluster_rep": t["cluster_rep"]}),
         batch_format="pyarrow",
     )
+
+
+def grid_cluster(sf_dir: str, min_pts: int = MIN_PTS,
+                 num_partitions: int = 8):
+    return grid_cluster_from_points(_points(sf_dir), min_pts,
+                                    num_partitions)
 
 
 def sql_grid_cluster(points_cte: str, min_pts: int = MIN_PTS) -> str:

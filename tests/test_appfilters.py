@@ -66,3 +66,17 @@ def test_upnote_highlight_and_checklists():
 def test_unknown_filter_raises():
     with pytest.raises(KeyError):
         md("<p>x</p>", "nope")
+
+
+def test_nimbus_list_indent_skips_levels():
+    """Indent VALUES can skip levels (0 -> 2 -> 1): the dedent must walk
+    up (current - indent) parents like the reference (html_filter.py:
+    329-333), not treat the value as a stack index (review r3)."""
+    from jimmy_ray.html.extract import html_to_markdown_filtered as h
+
+    got = h('<ul><li class="list-item-bullet indent-0">a</li>'
+            '<li class="list-item-bullet indent-2">deep</li>'
+            '<li class="list-item-bullet indent-1">mid</li></ul>',
+            ["nimbus_streamline_lists"])
+    # 'mid' lands one level above 'deep', not beside it
+    assert got == "- a\n  - deep\n- mid"

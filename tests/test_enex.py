@@ -83,6 +83,14 @@ CASES = [
     ("<en-note><p>before</p><table><tr><td><i>it</i></td></tr></table>"
      "<p>after</p></en-note>",
      "before\n\n| *it* |\n\nafter"),
+    # en-todo checkboxes inside cells stay in the cell (review r3)
+    ('<en-note><table><tr><td><en-todo checked="true"/>task</td>'
+     "</tr></table></en-note>",
+     "| - [x] task |"),
+    # --en-id tasklist markers inside cells stay in the cell
+    ('<en-note><table><tr><td style="--en-id:abc;">x</td></tr>'
+     "</table></en-note>",
+     "| tasklist://abcx |"),
 ]
 
 
