@@ -17,6 +17,7 @@ DuckDB oracle bit-for-bit regardless of partitioning.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -148,6 +149,37 @@ def top_orders(sf_dir: str, n: int = 10):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(n)
 
 
+def _local_asof(g: pd.DataFrame) -> pd.DataFrame:
+    ev = g[g["side"] == 0][["key", "t_us", "row_id"]].rename(
+        columns={"row_id": "event_id"})
+    od = g[g["side"] == 1][["key", "t_us", "row_id"]].rename(
+        columns={"row_id": "o_orderkey"})
+    if ev.empty:
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "ts_us": pd.Series([], dtype=np.int64),
+            "o_orderkey": pd.Series([], dtype="Int64"),
+            "order_ts_us": pd.Series([], dtype="Int64"),
+        })
+    ev = ev.sort_values(["t_us", "event_id"], kind="mergesort")
+    od = od.sort_values(["t_us", "o_orderkey"], kind="mergesort")
+    # duplicate the order timestamp so it rides the merge — no
+    # post-hoc lookup needed
+    od["order_ts_us"] = od["t_us"]
+    m = pd.merge_asof(ev, od, on="t_us", by="key",
+                      direction="backward",
+                      suffixes=("", "_o"))
+    return pd.DataFrame({
+        "event_id": m["event_id"].astype(np.int64),
+        "user_id": m["key"].astype(np.int64),
+        "ts_us": m["t_us"].astype(np.int64),
+        "o_orderkey": m["o_orderkey"].astype("Int64"),
+        "order_ts_us": m["order_ts_us"].astype("Int64"),
+    })
+
+
+
 def asof_join_events_orders(sf_dir: str, n_buckets: int = 64):
     """As-of join: each event matched to the latest order of the same
     user at or before the event time (left as-of, backward direction).
@@ -196,39 +228,10 @@ def asof_join_events_orders(sf_dir: str, n_buckets: int = 64):
         df["__b"] = (df["key"] % n_buckets).astype(np.int64)
         return df
 
-    def local_asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["side"] == 0][["key", "t_us", "row_id"]].rename(
-            columns={"row_id": "event_id"})
-        od = g[g["side"] == 1][["key", "t_us", "row_id"]].rename(
-            columns={"row_id": "o_orderkey"})
-        if ev.empty:
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "ts_us": pd.Series([], dtype=np.int64),
-                "o_orderkey": pd.Series([], dtype="Int64"),
-                "order_ts_us": pd.Series([], dtype="Int64"),
-            })
-        ev = ev.sort_values(["t_us", "event_id"], kind="mergesort")
-        od = od.sort_values(["t_us", "o_orderkey"], kind="mergesort")
-        # duplicate the order timestamp so it rides the merge — no
-        # post-hoc lookup needed
-        od["order_ts_us"] = od["t_us"]
-        m = pd.merge_asof(ev, od, on="t_us", by="key",
-                          direction="backward",
-                          suffixes=("", "_o"))
-        return pd.DataFrame({
-            "event_id": m["event_id"].astype(np.int64),
-            "user_id": m["key"].astype(np.int64),
-            "ts_us": m["t_us"].astype(np.int64),
-            "o_orderkey": m["o_orderkey"].astype("Int64"),
-            "order_ts_us": m["order_ts_us"].astype("Int64"),
-        })
-
     return (
         both.map_batches(add_bucket, batch_format="pandas")
         .groupby("__b")
-        .map_groups(local_asof, batch_format="pandas")
+        .map_groups(_local_asof, batch_format="pandas")
     )
 
 
@@ -252,6 +255,55 @@ FROM e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
 
 
 RANGE_WINDOW_US = 30 * 24 * 3600 * 1_000_000  # 30 days
+
+
+def _local_range(g: pd.DataFrame) -> pd.DataFrame:
+    ev = g[g["side"] == 0]
+    od = g[g["side"] == 1].sort_values(["key", "t_us", "row_id"],
+                                       kind="mergesort")
+    out_eid, out_uid, out_ts, out_n, out_min = [], [], [], [], []
+    od_groups = {k: sub for k, sub in od.groupby("key")}
+    for k, esub in ev.groupby("key"):
+        osub = od_groups.get(k)
+        ets = esub["t_us"].to_numpy()
+        eids = esub["row_id"].to_numpy()
+        if osub is None:
+            n = np.zeros(len(ets), dtype=np.int64)
+            mins = np.full(len(ets), -1, dtype=np.int64)
+        else:
+            ots = osub["t_us"].to_numpy()
+            oks = osub["row_id"].to_numpy()
+            # window is strict at the lower edge (SQL mirror:
+            # o_orderdate > ts - W), inclusive at the upper —
+            # side="right" on the lower bound excludes t == ts - W
+            lo = np.searchsorted(ots, ets - RANGE_WINDOW_US, side="right")
+            hi = np.searchsorted(ots, ets, side="right")
+            n = (hi - lo).astype(np.int64)
+            # exact per-window slice-min, fully vectorized: reduceat
+            # over interleaved [lo, hi) boundaries (even positions are
+            # the window mins); an int64-max sentinel keeps hi == len
+            # a valid index without affecting any min
+            mins = np.full(len(ets), -1, dtype=np.int64)
+            nz = np.nonzero(n > 0)[0]
+            if nz.size:
+                pairs = np.empty(2 * nz.size, dtype=np.int64)
+                pairs[0::2] = lo[nz]
+                pairs[1::2] = hi[nz]
+                oks_ext = np.append(oks, np.iinfo(np.int64).max)
+                mins[nz] = np.minimum.reduceat(oks_ext, pairs)[0::2]
+        out_eid.extend(eids.tolist())
+        out_uid.extend([k] * len(eids))
+        out_ts.extend(ets.tolist())
+        out_n.extend(n.tolist())
+        out_min.extend(mins.tolist())
+    return pd.DataFrame({
+        "event_id": pd.Series(out_eid, dtype=np.int64),
+        "user_id": pd.Series(out_uid, dtype=np.int64),
+        "ts_us": pd.Series(out_ts, dtype=np.int64),
+        "n_orders": pd.Series(out_n, dtype=np.int64),
+        "min_orderkey": pd.Series(out_min, dtype=np.int64),
+    })
+
 
 
 def range_join_events_orders(sf_dir: str, n_buckets: int = 64):
@@ -298,57 +350,10 @@ def range_join_events_orders(sf_dir: str, n_buckets: int = 64):
         df["__b"] = (df["key"] % n_buckets).astype(np.int64)
         return df
 
-    def local_range(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["side"] == 0]
-        od = g[g["side"] == 1].sort_values(["key", "t_us", "row_id"],
-                                           kind="mergesort")
-        out_eid, out_uid, out_ts, out_n, out_min = [], [], [], [], []
-        od_groups = {k: sub for k, sub in od.groupby("key")}
-        for k, esub in ev.groupby("key"):
-            osub = od_groups.get(k)
-            ets = esub["t_us"].to_numpy()
-            eids = esub["row_id"].to_numpy()
-            if osub is None:
-                n = np.zeros(len(ets), dtype=np.int64)
-                mins = np.full(len(ets), -1, dtype=np.int64)
-            else:
-                ots = osub["t_us"].to_numpy()
-                oks = osub["row_id"].to_numpy()
-                # window is strict at the lower edge (SQL mirror:
-                # o_orderdate > ts - W), inclusive at the upper —
-                # side="right" on the lower bound excludes t == ts - W
-                lo = np.searchsorted(ots, ets - RANGE_WINDOW_US, side="right")
-                hi = np.searchsorted(ots, ets, side="right")
-                n = (hi - lo).astype(np.int64)
-                # exact per-window slice-min, fully vectorized: reduceat
-                # over interleaved [lo, hi) boundaries (even positions are
-                # the window mins); an int64-max sentinel keeps hi == len
-                # a valid index without affecting any min
-                mins = np.full(len(ets), -1, dtype=np.int64)
-                nz = np.nonzero(n > 0)[0]
-                if nz.size:
-                    pairs = np.empty(2 * nz.size, dtype=np.int64)
-                    pairs[0::2] = lo[nz]
-                    pairs[1::2] = hi[nz]
-                    oks_ext = np.append(oks, np.iinfo(np.int64).max)
-                    mins[nz] = np.minimum.reduceat(oks_ext, pairs)[0::2]
-            out_eid.extend(eids.tolist())
-            out_uid.extend([k] * len(eids))
-            out_ts.extend(ets.tolist())
-            out_n.extend(n.tolist())
-            out_min.extend(mins.tolist())
-        return pd.DataFrame({
-            "event_id": pd.Series(out_eid, dtype=np.int64),
-            "user_id": pd.Series(out_uid, dtype=np.int64),
-            "ts_us": pd.Series(out_ts, dtype=np.int64),
-            "n_orders": pd.Series(out_n, dtype=np.int64),
-            "min_orderkey": pd.Series(out_min, dtype=np.int64),
-        })
-
     return (
         both.map_batches(add_bucket, batch_format="pandas")
         .groupby("__b")
-        .map_groups(local_range, batch_format="pandas")
+        .map_groups(_local_range, batch_format="pandas")
     )
 
 

@@ -164,3 +164,95 @@ def test_fast_parse_never_diverges_from_htmlparser(text):
     out: list[str] = []
     hx._render_blocks(body.children, out)
     assert via_parse_dom == "\n\n".join(out).strip()
+
+
+def _brute_asof(ev, od):
+    """O(n·m) reference for the as-of kernel."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for _, e in ev.iterrows():
+        cand = od[(od["key"] == e["key"]) & (od["t_us"] <= e["t_us"])]
+        if cand.empty:
+            rows.append((e["row_id"], e["key"], e["t_us"], None, None))
+        else:
+            best_t = cand["t_us"].max()
+            at_t = cand[cand["t_us"] == best_t]
+            ok = at_t["row_id"].max()  # tie -> larger orderkey
+            rows.append((e["row_id"], e["key"], e["t_us"], ok, best_t))
+    return pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts_us", "o_orderkey", "order_ts_us"
+    ]).astype({"event_id": np.int64, "user_id": np.int64,
+               "ts_us": np.int64, "o_orderkey": "Int64",
+               "order_ts_us": "Int64"})
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_local_asof_matches_brute_force(data):
+    import numpy as np
+    import pandas as pd
+
+    from jimmy_ray.pipelines.relational import _local_asof
+
+    n_ev = data.draw(st.integers(0, 12))
+    n_od = data.draw(st.integers(0, 12))
+    keys = st.integers(0, 3)
+    ts = st.integers(0, 20)
+    ev = pd.DataFrame({
+        "key": [data.draw(keys) for _ in range(n_ev)],
+        "side": np.int8(0),
+        "t_us": [data.draw(ts) for _ in range(n_ev)],
+        "row_id": np.arange(n_ev, dtype=np.int64),
+    })
+    od = pd.DataFrame({
+        "key": [data.draw(keys) for _ in range(n_od)],
+        "side": np.int8(1),
+        "t_us": [data.draw(ts) for _ in range(n_od)],
+        "row_id": np.arange(100, 100 + n_od, dtype=np.int64),
+    })
+    g = pd.concat([ev, od], ignore_index=True)
+    got = _local_asof(g).sort_values("event_id").reset_index(drop=True)
+    want = _brute_asof(ev, od).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_local_range_matches_brute_force(data):
+    import numpy as np
+    import pandas as pd
+
+    from jimmy_ray.pipelines.relational import RANGE_WINDOW_US, _local_range
+
+    n_ev = data.draw(st.integers(0, 12))
+    n_od = data.draw(st.integers(0, 12))
+    keys = st.integers(0, 3)
+    W = RANGE_WINDOW_US
+    ts = st.integers(0, 3 * W).map(lambda v: v - W)  # spans the window edge
+    ev = pd.DataFrame({
+        "key": [data.draw(keys) for _ in range(n_ev)],
+        "side": np.int8(0),
+        "t_us": [data.draw(ts) for _ in range(n_ev)],
+        "row_id": np.arange(n_ev, dtype=np.int64),
+    })
+    od = pd.DataFrame({
+        "key": [data.draw(keys) for _ in range(n_od)],
+        "side": np.int8(1),
+        "t_us": [data.draw(ts) for _ in range(n_od)],
+        "row_id": np.arange(100, 100 + n_od, dtype=np.int64),
+    })
+    g = pd.concat([ev, od], ignore_index=True)
+    got = _local_range(g).sort_values("event_id").reset_index(drop=True)
+    rows = []
+    for _, e in ev.iterrows():
+        cand = od[(od["key"] == e["key"])
+                  & (od["t_us"] > e["t_us"] - W)
+                  & (od["t_us"] <= e["t_us"])]
+        rows.append((e["row_id"], e["key"], e["t_us"], len(cand),
+                     cand["row_id"].min() if len(cand) else -1))
+    want = pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts_us", "n_orders", "min_orderkey"
+    ]).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
