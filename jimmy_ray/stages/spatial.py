@@ -162,12 +162,23 @@ def detect_hot_cells(points_ds, res: int = JOIN_RES, sample_frac: float = 0.05,
     partials = sample.map_batches(cell_counts, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
+    # sample count threshold equivalent to est > hot_threshold
+    min_sample_n = hot_threshold * sample_frac
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch["n"], min_sample_n))
+
     # coalesce the per-batch histograms (hundreds of tiny blocks) so the
-    # groupby is a handful of tasks, not two per input block
+    # groupby is a handful of tasks, not two per input block; the hot
+    # filter runs distributed BEFORE the collect, so driver state is
+    # O(hot cells), never O(occupied cells)
     agg = (
         partials.repartition(8)
         .groupby("cell")
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(keep_hot, batch_format="pyarrow")
         .to_pandas()
     )
     scale = 1.0 / sample_frac
