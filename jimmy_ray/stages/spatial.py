@@ -181,6 +181,8 @@ def detect_hot_cells(points_ds, res: int = JOIN_RES, sample_frac: float = 0.05,
         .map_batches(keep_hot, batch_format="pyarrow")
         .to_pandas()
     )
+    if agg.empty:  # no hot cells: to_pandas of an empty ds drops columns
+        return {}
     scale = 1.0 / sample_frac
     hot = {}
     for cell, n in zip(agg["cell"], agg["n"]):
