@@ -316,30 +316,99 @@ def replicated_embeddings_batch(batch: pa.Table) -> pa.Table:
 
 
 DUP_TABLES = 6
-DUP_PLANES = 8  # buckets per table = 2**DUP_PLANES
+DUP_PLANES = 8          # minimum planes; buckets per table = 2**planes
+DUP_TARGET_BUCKET = 2048  # target expected bucket population
+DUP_MISS_EPS = 0.05     # tolerated miss probability for a tau-boundary pair
+PAIR_TILE = 2048        # in-bucket scan tile edge: peak sim matrix ≤ TILE²
 
 
-def _dup_planes(dim: int) -> np.ndarray:
+def dup_plane_count(n_total: int) -> int:
+    """Planes per LSH table, derived from corpus size so the *expected*
+    bucket population stays ≈ DUP_TARGET_BUCKET: 2^b ≈ n / target.  Fixes
+    the r3 scale caveat (fixed 256 buckets → O((n/256)²) in-bucket scans)."""
+    if n_total <= DUP_TARGET_BUCKET:
+        return DUP_PLANES
+    return max(DUP_PLANES, int(np.ceil(np.log2(n_total / DUP_TARGET_BUCKET))))
+
+
+def dup_table_count(planes: int, tau: float) -> int:
+    """Tables needed so a pair at exactly cosine tau is missed with
+    probability ≤ DUP_MISS_EPS: collision prob per plane p = 1 − θ/π,
+    miss = (1 − p^b)^T ≤ eps → T = ⌈ln eps / ln(1 − p^b)⌉.  Reproduces
+    T=6 at (b=8, tau=0.95); grows slowly (T≈10 at b=12, ≈15 at b=16) as
+    planes scale with log(corpus), keeping recall flat."""
+    p = 1.0 - np.arccos(np.clip(tau, -1.0, 1.0)) / np.pi
+    pb = p ** planes
+    if pb >= 1.0:
+        return 1
+    return max(1, int(np.ceil(np.log(DUP_MISS_EPS) / np.log1p(-pb))))
+
+
+def _dup_planes(dim: int, tables: int = DUP_TABLES,
+                planes: int = DUP_PLANES) -> np.ndarray:
     rng = np.random.default_rng(777)
-    return rng.standard_normal((DUP_TABLES, DUP_PLANES, dim))
+    return rng.standard_normal((tables, planes, dim))
+
+
+def bucket_pairs_kernel(ids: np.ndarray, vecs: np.ndarray, tau: float,
+                        tile: int = PAIR_TILE,
+                        stats: dict | None = None) -> pd.DataFrame:
+    """Exact in-bucket cosine pairs (a < b, sim ≥ tau), computed in
+    tile×tile blocks so peak pair-matrix memory is ≤ tile² float64 no
+    matter how skewed the LSH bucket is (upper-triangle tiles only)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    n = len(ids)
+    for i0 in range(0, n, tile):
+        vi = vecs[i0:i0 + tile]
+        ii = ids[i0:i0 + tile]
+        for j0 in range(i0, n, tile):
+            vj = vecs[j0:j0 + tile]
+            jj = ids[j0:j0 + tile]
+            sims = vi @ vj.T
+            if stats is not None:
+                stats["peak_pair_matrix"] = max(
+                    stats.get("peak_pair_matrix", 0), sims.size)
+            rows, cols = np.nonzero((sims >= tau)
+                                    & (ii[:, None] < jj[None, :]))
+            if rows.size:
+                out_a.append(ii[rows])
+                out_b.append(jj[cols])
+                out_s.append(sims[rows, cols])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "sim": pd.Series([], dtype=np.float64)})
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b),
+                         "sim": np.concatenate(out_s)})
 
 
 def embedding_dup_pairs(sf_dir: str, tau: float = 0.95):
     """Cosine ≥ tau pairs over the replicated corpus: (a, b, sim).
 
-    LSH-bucketed pair generation: DUP_TABLES independent random-hyperplane
-    tables; each vector lands in one bucket per table, in-bucket all-pairs
-    cosine (exact, so no false positives), cross-table duplicates removed
-    by a pair-grouped max.  Near-identical vectors (θ→0) agree on all
-    DUP_PLANES planes of at least one table w.h.p. (miss ≈ (1−p^b)^T);
-    per-worker state is one bucket, never the corpus."""
+    LSH-bucketed pair generation: T independent random-hyperplane tables;
+    each vector lands in one bucket per table, in-bucket all-pairs cosine
+    (exact, so no false positives), cross-table duplicates removed by a
+    pair-grouped max.  Scale shape: planes b ≈ log2(n / target_bucket)
+    bounds expected bucket population at any corpus size, T is derived
+    from (tau, b) to pin the miss rate ≤ DUP_MISS_EPS, and the in-bucket
+    scan is tiled (bucket_pairs_kernel) so peak memory is ≤ PAIR_TILE²
+    even for skewed buckets; per-worker state is one bucket's vectors,
+    never the corpus."""
     import ray.data as rd
 
     from jimmy_ray.functions.dedup import pair_grouped
 
-    ds = rd.read_parquet(
+    base = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(replicated_embeddings_batch, batch_format="pyarrow")
+    )
+    n_total = 2 * base.count()  # parquet metadata count; ×2 for replicas
+    n_planes = dup_plane_count(n_total)
+    n_tables = dup_table_count(n_planes, tau)
+
+    ds = base.map_batches(replicated_embeddings_batch, batch_format="pyarrow")
 
     planes: np.ndarray | None = None
 
@@ -348,15 +417,15 @@ def embedding_dup_pairs(sf_dir: str, tau: float = 0.95):
         vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         if planes is None:
-            planes = _dup_planes(vecs.shape[1])
+            planes = _dup_planes(vecs.shape[1], n_tables, n_planes)
         ids = batch["vec_id"].to_numpy()
         out = []
-        for t in range(DUP_TABLES):
+        for t in range(n_tables):
             bits = (vecs @ planes[t].T) > 0
             bucket = (bits.astype(np.int64)
-                      << np.arange(DUP_PLANES, dtype=np.int64)).sum(axis=1)
+                      << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
             out.append(pa.table({
-                "tb": pa.array(t * (1 << DUP_PLANES) + bucket, pa.int64()),
+                "tb": pa.array(t * (1 << n_planes) + bucket, pa.int64()),
                 "vec_id": pa.array(ids, pa.int64()),
                 "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
             }))
@@ -366,19 +435,12 @@ def embedding_dup_pairs(sf_dir: str, tau: float = 0.95):
                              batch_size=4096)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64),
-                              "sim": pd.Series([], dtype=np.float64)})
         if len(g) < 2:
-            return empty
+            return bucket_pairs_kernel(
+                np.array([], dtype=np.int64), np.empty((0, 1)), tau)
         ids = g["vec_id"].to_numpy()
         vecs = np.stack(g["embedding"].to_numpy())
-        sims = vecs @ vecs.T
-        rows, cols = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
-        if rows.size == 0:
-            return empty
-        return pd.DataFrame({"a": ids[rows], "b": ids[cols],
-                             "sim": sims[rows, cols]})
+        return bucket_pairs_kernel(ids, vecs, tau)
 
     pairs = buckets.groupby("tb").map_groups(bucket_pairs,
                                              batch_format="pandas")

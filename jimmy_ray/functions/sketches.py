@@ -21,6 +21,12 @@ import pyarrow as pa
 HLL_P = 12  # 4096 registers → ~1.6% expected error
 _M = 1 << HLL_P
 
+# One distributed merge level between the per-batch partials and the driver
+# fold: repartition(TREE_FANIN) + per-partition merge, so take_all() always
+# receives O(TREE_FANIN) rows — independent of block count (r3 verdict: at
+# 10^6 blocks the raw partial fold alone is ~4 GB of driver state).
+TREE_FANIN = 8
+
 
 def _fmix64(h: np.ndarray) -> np.ndarray:
     """murmur3 finalizer (public): FNV's high bits avalanche poorly for
@@ -116,10 +122,20 @@ def approx_distinct_tokens(sf_dir: str) -> "object":
         regs = hll_from_tokens(tokens)
         return pa.table({"sketch": pa.array([regs.tobytes()], pa.binary())})
 
+    def merge_partition(batch: pa.Table) -> pa.Table:
+        merged = hll_merge([
+            np.frombuffer(s.as_py(), dtype=np.uint8) for s in batch["sketch"]
+        ])
+        return pa.table({"sketch": pa.array([merged.tobytes()], pa.binary())})
+
+    tree = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .repartition(TREE_FANIN)
+        .map_batches(merge_partition, batch_format="pyarrow", batch_size=None)
+    )
     sketches = [
         np.frombuffer(row["sketch"], dtype=np.uint8)
-        for row in ds.map_batches(partial, batch_format="pyarrow",
-                                  batch_size=2048).take_all()
+        for row in tree.take_all()  # ≤ TREE_FANIN rows by construction
     ]
     estimate = hll_estimate(hll_merge(sketches))
     return pd.DataFrame({"approx_distinct_tokens": [round(estimate)]})
@@ -176,8 +192,20 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 16) -> "object":
         return pa.table({"token": pa.array(list(summary), pa.string()),
                          "c": pa.array(list(summary.values()), pa.int64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=2048).take_all()
+    def merge_partition(batch: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for t, c in zip(batch["token"].to_pylist(), batch["c"].to_pylist()):
+            acc[t] = acc.get(t, 0) + c
+        merged = mg_merge([acc], k)  # ≤ k-1 counters per partition
+        return pa.table({"token": pa.array(list(merged), pa.string()),
+                         "c": pa.array(list(merged.values()), pa.int64())})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .repartition(TREE_FANIN)
+        .map_batches(merge_partition, batch_format="pyarrow", batch_size=None)
+        .take_all()  # ≤ TREE_FANIN × (k-1) rows by construction
+    )
     merged: dict[str, int] = {}
     for row in parts:
         merged[row["token"]] = merged.get(row["token"], 0) + row["c"]
@@ -200,6 +228,23 @@ def quantile_compress(values: np.ndarray, k: int = QS_K) -> tuple[np.ndarray, fl
     return v[idx], v.size / k
 
 
+def quantile_recompress(points: np.ndarray, weights: np.ndarray,
+                        k: int = QS_K) -> tuple[np.ndarray, np.ndarray]:
+    """Merge weighted sketch points back down to ≤ k points (the tree-merge
+    level): sort, pick the points at k evenly spaced cumulative-weight
+    targets, give each total/k weight.  Adds ≤ 1/k rank error on top of the
+    per-batch bound; passthrough when already ≤ k points."""
+    if points.size <= k:
+        return points, weights
+    order = np.argsort(points, kind="stable")
+    pts, w = points[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    targets = (np.arange(k) + 0.5) * total / k
+    idx = np.minimum(np.searchsorted(cum, targets, side="left"), pts.size - 1)
+    return pts[idx], np.full(k, total / k)
+
+
 def weighted_quantiles(points: np.ndarray, weights: np.ndarray,
                        probs: list[float]) -> list[float]:
     order = np.argsort(points, kind="stable")
@@ -218,8 +263,9 @@ def doc_length_quantiles(sf_dir: str,
                          probs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
     """Approximate doc-length quantiles via a mergeable sketch: each batch
     ships K weighted order statistics (constant bytes per batch, like the
-    HLL row), the driver folds K × n_blocks points — never the column.
-    Rank error is bounded by 1/K per batch; accuracy asserted in tests."""
+    HLL row), a tree-merge level re-compresses per partition, and the
+    driver folds ≤ TREE_FANIN × K points — never the column and never
+    O(blocks).  Rank error ≤ 1/K per level; accuracy asserted in tests."""
     import pandas as pd
 
     import ray.data as rd
@@ -235,8 +281,18 @@ def doc_length_quantiles(sf_dir: str,
             "weight": pa.array(np.full(pts.size, weight), pa.float64()),
         })
 
-    rows = ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=8192).take_all()
+    def merge_partition(batch: pa.Table) -> pa.Table:
+        pts, wts = quantile_recompress(
+            batch["point"].to_numpy(), batch["weight"].to_numpy())
+        return pa.table({"point": pa.array(pts, pa.float64()),
+                         "weight": pa.array(wts, pa.float64())})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .repartition(TREE_FANIN)
+        .map_batches(merge_partition, batch_format="pyarrow", batch_size=None)
+        .take_all()  # ≤ TREE_FANIN × QS_K rows by construction
+    )
     points = np.array([r["point"] for r in rows])
     weights = np.array([r["weight"] for r in rows])
     qs = weighted_quantiles(points, weights, list(probs))

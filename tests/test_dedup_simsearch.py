@@ -121,6 +121,64 @@ def test_embedding_dup_pairs_finds_replicas(ray_session):
     assert (df["sim"] >= 0.95).all()
 
 
+def test_dup_scaling_parameters_bound_bucket_population():
+    """r3 scale caveat: plane count must grow with corpus size so the
+    expected in-bucket population (and hence the all-pairs scan) stays
+    bounded by a constant at any scale; table count must compensate so the
+    tau-boundary miss rate stays pinned."""
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000, 10**12):
+        b = simsearch.dup_plane_count(n)
+        assert n / (1 << b) <= simsearch.DUP_TARGET_BUCKET
+    # more planes -> more tables, miss rate <= eps at every plane count
+    p = 1 - np.arccos(0.95) / np.pi
+    for b in (8, 12, 16, 24):
+        t = simsearch.dup_table_count(b, 0.95)
+        assert (1 - p**b) ** t <= simsearch.DUP_MISS_EPS
+    # reproduces the round-3 fixed topology at small corpus sizes
+    assert simsearch.dup_plane_count(1000) == simsearch.DUP_PLANES == 8
+    assert simsearch.dup_table_count(8, 0.95) == 6
+
+
+def test_bucket_pairs_kernel_tiled_equals_dense_and_bounded():
+    """The tiled in-bucket scan is exact (same pairs as one dense matmul)
+    and its peak sim-matrix allocation is <= tile^2 regardless of bucket
+    size — the memory bound that holds under LSH bucket skew."""
+    rng = np.random.default_rng(7)
+    n, d = 700, 16
+    vecs = rng.standard_normal((n, d))
+    vecs[n // 2:] = vecs[: n - n // 2] + rng.normal(0, 0.01, (n - n // 2, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64)
+    dense = simsearch.bucket_pairs_kernel(ids, vecs, 0.95, tile=10**9)
+    stats: dict = {}
+    tiled = simsearch.bucket_pairs_kernel(ids, vecs, 0.95, tile=128,
+                                          stats=stats)
+    assert set(zip(dense["a"], dense["b"])) == set(zip(tiled["a"], tiled["b"]))
+    assert len(dense) > 0
+    assert stats["peak_pair_matrix"] <= 128 * 128
+
+
+def test_embedding_dup_pairs_recall_unchanged_at_scaled_topology(
+        ray_session, monkeypatch):
+    """Drive the operator through the scaling regime: shrink the target
+    bucket so the same corpus derives a different (planes, tables)
+    topology — as a 60x larger corpus would — and assert the replica
+    pairing is still fully recovered."""
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(simsearch, "DUP_TARGET_BUCKET", 16)
+    monkeypatch.setattr(simsearch, "DUP_PLANES", 4)
+    assert simsearch.dup_plane_count(1000) == 6          # vs 8 at default
+    assert simsearch.dup_table_count(6, 0.95) == 4       # vs 6 at default
+    df = simsearch.embedding_dup_pairs(SF).to_pandas()
+    got = set(zip(df["a"], df["b"]))
+    vec_ids = pq.read_table(f"{SF}/embeddings.parquet",
+                            columns=["vec_id"])["vec_id"].to_pylist()
+    expected = {(v, v + simsearch.REPLICA_OFFSET) for v in vec_ids}
+    assert expected <= got
+    assert (df["sim"] >= 0.95).all()
+
+
 def test_multimodal_features(ray_session):
     from jimmy_ray.stages import multimodal
 
