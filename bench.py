@@ -159,19 +159,12 @@ def run_bench() -> dict:
         Sum("p_n", alias_name="n")
     ).count())
 
-    # q8: zonal polygon statistics (geo aggregate tier) — partial-agg
-    # inside the join stage, one row per (polygon, batch)
+    # q8: zonal polygon statistics (geo aggregate tier) — times the
+    # shipped plan (shared builder), not a rebuilt subset (ADVICE r3)
     from jimmy_ray.stages import geoagg
-    from ray.data.aggregate import Max, Min
 
-    timed("polygon_stats", lambda: points_ds().map_batches(
-        geoagg.polygon_stats_partial, batch_format="pyarrow",
-        batch_size=32768,
-    ).groupby("polygon_id").aggregate(
-        Sum("p_n", alias_name="n_pages"),
-        Min("p_min_lat", alias_name="min_lat_e6"),
-        Max("p_max_lat", alias_name="max_lat_e6"),
-    ).count())
+    timed("polygon_stats", lambda: geoagg.polygon_stats_from_points(
+        points_ds(), batch_size=32768).count())
 
     # q9: density grid clustering over the full point set (shared core:
     # cell counts → core cells → adjacency join → connected components)

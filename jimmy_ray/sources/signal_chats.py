@@ -115,7 +115,10 @@ def sql_signal_extract() -> str:
     nl = "chr(10) || chr(10)"
 
     def stamp(expr: str) -> str:
-        return f"strftime(to_timestamp({expr}), '%Y-%m-%d %H:%M:%S')"
+        # make_timestamp is TimeZone-setting-independent (to_timestamp
+        # renders in the session TZ; the Ray path pins UTC)
+        return (f"strftime(make_timestamp(CAST(({expr}) AS BIGINT) * 1000000),"
+                f" '%Y-%m-%d %H:%M:%S')")
 
     return f"""
 SELECT doc_id,

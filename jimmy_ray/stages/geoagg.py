@@ -74,13 +74,16 @@ def polygon_stats_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def polygon_stats(sf_dir: str):
+def polygon_stats_from_points(points, batch_size: int = 8192):
+    """The shipped zonal-stats plan over any points dataset — shared by
+    the oracle query and the bench (the bench must time THIS plan, not a
+    rebuilt variant; ADVICE r3)."""
     from ray.data.aggregate import Max, Min, Sum
 
     return (
-        _points(sf_dir)
+        points
         .map_batches(polygon_stats_partial, batch_format="pyarrow",
-                     batch_size=8192)
+                     batch_size=batch_size)
         .repartition(8)  # coalesce tiny per-batch partials (CLAUDE.md)
         .groupby("polygon_id")
         .aggregate(
@@ -93,6 +96,10 @@ def polygon_stats(sf_dir: str):
             Max("p_max_lon", alias_name="max_lon_e6"),
         )
     )
+
+
+def polygon_stats(sf_dir: str):
+    return polygon_stats_from_points(_points(sf_dir))
 
 
 def sql_polygon_stats(points_cte: str) -> str:
@@ -213,8 +220,14 @@ def sql_grid_cluster(points_cte: str, min_pts: int = MIN_PTS) -> str:
     nx = 1 << (CLUSTER_RES + 6)
     cell_sql = geo_core.sql_geocell_id("pts.lat_e6", "pts.lon_e6",
                                        CLUSTER_RES)
-    # the reach CTE is recursive; DuckDB wants RECURSIVE on the WITH head
-    points_cte = points_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+    # the reach CTE is recursive; DuckDB wants RECURSIVE on the WITH head.
+    # Guard the rewrite: it must see exactly one plain "WITH " prefix, or
+    # the string surgery would silently corrupt the query (ADVICE r3).
+    if not points_cte.startswith("WITH "):
+        raise ValueError("points_cte must start with 'WITH '")
+    if points_cte.startswith("WITH RECURSIVE"):
+        raise ValueError("points_cte is already RECURSIVE")
+    points_cte = "WITH RECURSIVE " + points_cte[len("WITH "):]
     return f"""
 {points_cte},
 cells AS (
