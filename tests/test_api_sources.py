@@ -163,8 +163,8 @@ def test_subprocess_stage_dead_letters_and_restarts():
 
 
 def test_pdf_extract_subset():
-    """S4 real-subset: escapes, TJ arrays, Td newlines, FlateDecode;
-    non-Flate /Filter raises."""
+    """S4 real-subset: escapes, TJ arrays, Td newlines, Flate/LZW/xref
+    variants identical; unsupported /Filter raises."""
     import pytest
 
     from jimmy_ray.sources.pdf import extract_pdf_text, synth_pdf
@@ -174,13 +174,60 @@ def test_pdf_extract_subset():
     # octal escape per the PDF spec
     pdf = synth_pdf(1, "x").replace(b"(x)", b"(\\101\\102)")
     assert "AB" in extract_pdf_text(pdf)
-    # FlateDecode inflates and extracts identically to the raw stream
-    assert extract_pdf_text(synth_pdf(7, "zip me", flate=True)) == \
-        extract_pdf_text(synth_pdf(7, "zip me"))
+    # every decode path extracts identically to the raw stream
+    for v in ("flate", "lzw", "xref"):
+        assert extract_pdf_text(synth_pdf(7, "zip me", variant=v)) == \
+            extract_pdf_text(synth_pdf(7, "zip me")), v
     other = synth_pdf(1, "x").replace(
-        b"<< /Length", b"<< /Filter /LZWDecode /Length")
+        b"<< /Length", b"<< /Filter /DCTDecode /Length")
     with pytest.raises(NotImplementedError):
         extract_pdf_text(other)
+
+
+def test_pdf_lzw_roundtrip_and_width_bumps():
+    """LZW encoder/decoder stay in sync across the 9→10→11→12-bit width
+    bumps and a forced table clear (>4096 entries)."""
+    import numpy as np
+
+    from jimmy_ray.sources.pdf import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"A",
+        b"AAAAAAAAAAAA",              # KwKwK self-reference case
+        bytes(rng.integers(0, 256, 3_000)),   # 9->10 bit bump
+        bytes(rng.integers(0, 4, 60_000)),    # low entropy: 12-bit + clear
+        bytes(rng.integers(0, 256, 10_000)),
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data)) == data
+    # compresses repetitive input (i.e. it's real LZW, not a passthrough)
+    rep = b"tok " * 5_000
+    assert len(lzw_encode(rep)) < len(rep) // 2
+    assert lzw_decode(lzw_encode(rep)) == rep
+
+
+def test_pdf_xref_stream_parsing_and_predictor():
+    from jimmy_ray.sources.pdf import (
+        parse_xref_stream, png_predictor_decode, synth_pdf)
+
+    pdf = synth_pdf(3, "hello xref", variant="xref")
+    entries = parse_xref_stream(pdf)
+    assert entries is not None and set(entries) == {0, 1, 2, 3, 4, 5}
+    assert entries[0][0] == 0                 # free head
+    assert all(entries[i][0] == 1 for i in range(1, 6))
+    # offsets really point at "N 0 obj"
+    for i in range(1, 6):
+        off = entries[i][1]
+        assert pdf[off:off + len(f"{i} 0 obj")] == f"{i} 0 obj".encode()
+    # classic-xref PDFs return None (fallback scan path)
+    assert parse_xref_stream(synth_pdf(3, "x")) is None
+    # PNG predictors: Sub and Paeth round-trip a known row pair
+    raw = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    up = bytearray([2]) + bytes(raw[:4])
+    up += bytes([2]) + bytes((raw[4 + j] - raw[j]) & 0xFF for j in range(4))
+    assert png_predictor_decode(bytes(up), columns=4) == raw
 
 
 def test_dispatch_round2_formats():
