@@ -56,3 +56,11 @@ def timestamp_col_to_ms(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Vectorized: timestamp[us] column -> int64 epoch milliseconds."""
     as_us = pc.cast(col, pa.int64())
     return pc.divide(as_us, 1000)
+
+
+def sql_utc_strftime(epoch_s_expr: str, fmt: str) -> str:
+    """DuckDB strftime over epoch seconds, independent of the session
+    TimeZone setting (to_timestamp renders in the session TZ; the Ray
+    side always pins UTC, so mirrors must use make_timestamp)."""
+    return (f"strftime(make_timestamp(CAST(({epoch_s_expr}) AS BIGINT) "
+            f"* 1000000), '{fmt}')")

@@ -141,10 +141,10 @@ def colornote_extract(sf_dir: str):
 
 def sql_colornote_extract() -> str:
     i = "CAST(doc_id AS VARCHAR)"
-    cal_title = (
-        f"strftime(to_timestamp(({EPOCH_MS} + doc_id * 86400000) // 1000), "
-        "'%Y-%m-%d')"
-    )
+    from jimmy_ray.scalars.dates import sql_utc_strftime
+
+    cal_title = sql_utc_strftime(
+        f"({EPOCH_MS} + doc_id * 86400000) // 1000", "%Y-%m-%d")
     return f"""
 SELECT doc_id,
   CASE WHEN doc_id % 4 = 0 THEN {cal_title} ELSE 'Doc ' || {i} END AS title,

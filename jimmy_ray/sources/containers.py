@@ -199,10 +199,12 @@ def facebook_extract(sf_dir: str):
 
 
 def sql_facebook_extract() -> str:
+    from jimmy_ray.scalars.dates import sql_utc_strftime
+
     ts = f"({FB_EPOCH_S} + doc_id * 3600)"
     return f"""
 SELECT doc_id,
-  strftime(to_timestamp({ts}), '%Y-%m-%d') || ': ' || substr(text, 1, 80)
+  {sql_utc_strftime(ts, "%Y-%m-%d")} || ': ' || substr(text, 1, 80)
     AS title,
   text AS body,
   'fb' || CAST(doc_id % 3 AS VARCHAR) AS tags,

@@ -224,16 +224,22 @@ def telegram_extract(sf_dir: str):
 
 
 def sql_telegram_extract() -> str:
+    from jimmy_ray.scalars.dates import sql_utc_strftime
+
+    msg_stamp = sql_utc_strftime(f"{TG_EPOCH_S} + doc_id * 60 + j + 1",
+                                 "%Y-%m-%d %H:%M:%S")
+    file_stamp = sql_utc_strftime(f"{TG_EPOCH_S} + doc_id * 60 + 59",
+                                  "%Y-%m-%d %H:%M:%S")
     line = (
-        "strftime(to_timestamp({ts}), '%Y-%m-%d %H:%M:%S') || ', **user' || "
+        f"{msg_stamp} || ', **user' || "
         "CAST(j % 2 AS VARCHAR) || '**: msg ' || CAST(doc_id AS VARCHAR) || "
         "' ' || CAST(j AS VARCHAR) || ': ' || text"
-    ).replace("{ts}", f"{TG_EPOCH_S} + doc_id * 60 + j + 1")
+    )
     file_line = (
-        "strftime(to_timestamp({ts}), '%Y-%m-%d %H:%M:%S') || "
+        f"{file_stamp} || "
         "', **user0**: ![f' || CAST(doc_id AS VARCHAR) || '.jpg](tg/files/f' "
         "|| CAST(doc_id AS VARCHAR) || '.jpg)'"
-    ).replace("{ts}", f"{TG_EPOCH_S} + doc_id * 60 + 59")
+    )
     return f"""
 WITH msgs AS (
   SELECT doc_id, j, {line} AS line
@@ -330,10 +336,12 @@ def dayone_extract(sf_dir: str):
 
 
 def sql_dayone_extract() -> str:
+    from jimmy_ray.scalars.dates import sql_utc_strftime
+
     created = f"({DAYONE_EPOCH_S} + doc_id * 86400)"
     return f"""
 SELECT doc_id,
-  strftime(to_timestamp({created}), '%Y-%m-%d') AS title,
+  {sql_utc_strftime(created, "%Y-%m-%d")} AS title,
   text || 'zw' AS body,
   't' || CAST(doc_id % 3 AS VARCHAR)
     || (CASE WHEN doc_id % 5 = 0 THEN ',day-one-starred' ELSE '' END)

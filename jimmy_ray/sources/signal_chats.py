@@ -114,11 +114,10 @@ def sql_signal_extract() -> str:
     base = f"({EPOCH_S} + doc_id * 60)"
     nl = "chr(10) || chr(10)"
 
+    from jimmy_ray.scalars.dates import sql_utc_strftime
+
     def stamp(expr: str) -> str:
-        # make_timestamp is TimeZone-setting-independent (to_timestamp
-        # renders in the session TZ; the Ray path pins UTC)
-        return (f"strftime(make_timestamp(CAST(({expr}) AS BIGINT) * 1000000),"
-                f" '%Y-%m-%d %H:%M:%S')")
+        return sql_utc_strftime(expr, "%Y-%m-%d %H:%M:%S")
 
     return f"""
 SELECT doc_id,

@@ -211,7 +211,10 @@ def diaro_extract(sf_dir: str):
 
 def sql_diaro_extract() -> str:
     i = "CAST(doc_id AS VARCHAR)"
-    date = f"strftime(to_timestamp(({DIARO_EPOCH_MS} + doc_id * 1000) // 1000), '%Y-%m-%d')"
+    from jimmy_ray.scalars.dates import sql_utc_strftime
+
+    date = sql_utc_strftime(f"({DIARO_EPOCH_MS} + doc_id * 1000) // 1000",
+                            "%Y-%m-%d")
     return f"""
 SELECT doc_id,
   {date} || ' Entry ' || {i} AS title,
