@@ -59,6 +59,47 @@ def render_enex_note(doc_id: int) -> str:
     )
 
 
+def parse_enex_export(payload: bytes,
+                      password: str | None = None) -> list[dict]:
+    """Walk a real ``.enex`` export container (the reference's iterparse
+    shape, evernote.py:194-215): one row per ``<note>`` with title, tags,
+    created/updated stamps, the ``en-note`` CDATA converted to markdown
+    via the state machine, the en-media hashes the body references, and
+    the md5 of each declared ``<resource>`` payload (which en-media
+    ``hash`` attributes point at, evernote.py:60-90)."""
+    import io
+    import xml.etree.ElementTree as ET
+
+    rows: list[dict] = []
+    for _event, elem in ET.iterparse(io.BytesIO(payload), events=("end",)):
+        if elem.tag != "note":
+            continue
+        res_md5: list[str] = []
+        res_names: list[str] = []
+        for res in elem.findall("resource"):
+            data_el = res.find("data")
+            if data_el is not None and (data_el.text or "").strip():
+                raw = base64.b64decode("".join(data_el.text.split()))
+                res_md5.append(hashlib.md5(raw).hexdigest())
+            res_names.append(
+                res.findtext("resource-attributes/file-name", ""))
+        # container whitespace may precede the CDATA's XML declaration
+        body_md, used_hashes = enex_body_to_md(
+            elem.findtext("content", "").strip(), password)
+        rows.append({
+            "title": elem.findtext("title", ""),
+            "body": body_md,
+            "tags": [t.text or "" for t in elem.findall("tag")],
+            "created": elem.findtext("created", ""),
+            "updated": elem.findtext("updated", ""),
+            "media_hashes": used_hashes,
+            "resource_md5": res_md5,
+            "resource_names": res_names,
+        })
+        elem.clear()
+    return rows
+
+
 def enex_extract(sf_dir: str):
     """documents -> synthesized en-note XML -> Markdown + resource hashes."""
     import ray.data as rd

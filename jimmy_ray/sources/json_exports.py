@@ -202,6 +202,16 @@ def parse_telegram_chat(raw: str) -> dict:
     }
 
 
+def parse_telegram_export(raw: str) -> list[dict]:
+    """A real ``result.json``: a complete DataExport carries a ``chats``
+    key with a chat list, a single ChatExport is the chat itself
+    (telegram.py:47-55)."""
+    export = json.loads(raw)
+    if (chats := export.get("chats")) is not None:
+        return [parse_telegram_chat(json.dumps(c)) for c in chats["list"]]
+    return [parse_telegram_chat(raw)]
+
+
 def telegram_extract(sf_dir: str):
     import ray.data as rd
 
