@@ -254,8 +254,108 @@ def run_scaling() -> None:
     }))
 
 
+def run_resume_check(sf_dir: str | None = None, n_partitions: int = 8,
+                     cpus: int = 4, work_dir: str | None = None) -> dict:
+    """Kill-and-resume evidence for the manifest sinks (north rule):
+
+    1. launch the flagship job as a subprocess and SIGKILL the whole
+       process group as soon as the first partition manifests land,
+    2. resume the same output directory to completion and check the
+       already-complete partitions were skipped (anti-join, not redone),
+    3. run fresh into a second directory and check every partition file
+       is byte-identical to the resumed run (deterministic partitioning +
+       in-partition sort ⇒ crash/resume never changes the output),
+    4. verify every manifest checksum against its data file.
+    """
+    import shutil
+    import signal
+    import tempfile
+
+    sf_dir = sf_dir or "/root/testdata/sf0.001"
+    work_dir = work_dir or tempfile.mkdtemp(prefix="jimmy_ray_resume_")
+    out_a = os.path.join(work_dir, "killed_then_resumed")
+    out_b = os.path.join(work_dir, "fresh")
+    job = [sys.executable, "jobs/flagship_job.py", "--sf-dir", sf_dir,
+           "--partitions", str(n_partitions), "--local-cpus", str(cpus)]
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def manifests(out: str) -> int:
+        from jimmy_ray.state import manifest
+
+        return sum(len(manifest.completed_partitions(os.path.join(out, s)))
+                   for s in ("extracted", "tiles", "join"))
+
+    # 1. launch and SIGKILL mid-write
+    proc = subprocess.Popen(job + ["--output", out_a], cwd=here,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        if manifests(out_a) >= 1 or proc.poll() is not None:
+            break
+        time.sleep(0.02)
+    killed_mid_run = proc.poll() is None
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    from jimmy_ray.state import manifest
+
+    done_at_kill = {
+        s: manifest.completed_partitions(os.path.join(out_a, s))
+        for s in ("extracted", "tiles", "join")
+    }
+
+    def run_to_completion(out: str) -> dict:
+        res = subprocess.run(job + ["--output", out], cwd=here,
+                             capture_output=True, text=True, timeout=600)
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    # 2. resume the killed directory
+    resumed = run_to_completion(out_a)
+    skip_ok = all(
+        resumed[s]["partitions_skipped"] == len(done_at_kill[s])
+        and resumed[s]["partitions_written"]
+        == n_partitions - len(done_at_kill[s])
+        for s in ("extracted", "tiles", "join")
+    )
+
+    # 3. fresh run, byte-compare all partitions
+    run_to_completion(out_b)
+    import hashlib
+
+    def checksums(out: str) -> dict[str, str]:
+        sums = {}
+        for sink in ("extracted", "tiles", "join"):
+            for p in range(n_partitions):
+                path = os.path.join(out, sink, f"part={p:05d}", "data.parquet")
+                with open(path, "rb") as fh:
+                    sums[f"{sink}/{p}"] = hashlib.md5(fh.read()).hexdigest()
+        return sums
+
+    identical = checksums(out_a) == checksums(out_b)
+
+    # 4. manifest integrity
+    problems = [
+        p for s in ("extracted", "tiles", "join")
+        for p in manifest.verify_manifest(os.path.join(out_a, s))
+    ]
+    result = {
+        "killed_mid_run": killed_mid_run,
+        "partitions_done_at_kill": {k: len(v) for k, v in done_at_kill.items()},
+        "resume_skip_counts_ok": skip_ok,
+        "byte_identical_to_fresh": identical,
+        "manifest_problems": problems,
+        "n_partitions": n_partitions,
+    }
+    if os.environ.get("GRAFT_KEEP_RESUME_DIR") != "1":
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--resume-check" in sys.argv:
+        print(json.dumps(run_resume_check()))
     else:
         print(json.dumps(run_bench()))
