@@ -106,7 +106,7 @@ _DRIVER_WINDOW_R4 = [
     "session_window",
     "sliding_window",
     "embedding_dup_pairs",
-    "doc_length_quantiles",
+    "sevenzip_extract",
 ]
 
 
@@ -387,6 +387,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": lambda sf: __import__(
             "jimmy_ray.sources.pdf", fromlist=["x"]
         ).pdf_extract(sf),
+        # password-protected 7z archives: AES-256 KDF + Copy/LZMA chains
+        # + encrypted headers (test_convert.py:262-298 prep layer)
+        "sevenzip_extract": lambda sf: __import__(
+            "jimmy_ray.sources.sevenzip", fromlist=["x"]
+        ).sevenzip_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -772,6 +777,9 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": __import__(
             "jimmy_ray.sources.pdf", fromlist=["x"]
         ).sql_pdf_extract(),
+        "sevenzip_extract": __import__(
+            "jimmy_ray.sources.sevenzip", fromlist=["x"]
+        ).sql_sevenzip_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

@@ -82,18 +82,24 @@ for _ in range(9):
 
 
 def expand_key(key: bytes) -> np.ndarray:
-    """AES-128 key schedule -> (11, 16) uint8 round keys (flat r+4c)."""
-    assert len(key) == 16
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """AES key schedule -> (Nr+1, 16) uint8 round keys (flat r+4c).
+    Nk=4 (AES-128, 11 round keys) or Nk=8 (AES-256, 15 round keys,
+    FIPS-197 §5.2 including the extra SubWord at i%8==4)."""
+    assert len(key) in (16, 32)
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [int(_SBOX[b]) for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    out = np.zeros((11, 16), dtype=np.uint8)
-    for rnd in range(11):
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [int(_SBOX[b]) for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    out = np.zeros((nr + 1, 16), dtype=np.uint8)
+    for rnd in range(nr + 1):
         for c in range(4):
             for r in range(4):
                 out[rnd, r + 4 * c] = w[4 * rnd + c][r]
@@ -123,18 +129,21 @@ def _inv_mix_columns(s: np.ndarray) -> np.ndarray:
 
 
 def encrypt_blocks(states: np.ndarray, round_keys: np.ndarray) -> np.ndarray:
-    """(N, 16) uint8 blocks -> AES-128-encrypted blocks, vectorized."""
+    """(N, 16) uint8 blocks -> AES-encrypted blocks, vectorized; round
+    count follows the key schedule (10 for AES-128, 14 for AES-256)."""
+    nr = round_keys.shape[0] - 1
     s = states ^ round_keys[0]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = _SBOX[s][:, _SHIFT]
         s = _mix_columns(s) ^ round_keys[rnd]
     s = _SBOX[s][:, _SHIFT]
-    return s ^ round_keys[10]
+    return s ^ round_keys[nr]
 
 
 def decrypt_blocks(states: np.ndarray, round_keys: np.ndarray) -> np.ndarray:
-    s = states ^ round_keys[10]
-    for rnd in range(9, 0, -1):
+    nr = round_keys.shape[0] - 1
+    s = states ^ round_keys[nr]
+    for rnd in range(nr - 1, 0, -1):
         s = _INV_SBOX[s[:, _INV_SHIFT]]
         s = _inv_mix_columns(s ^ round_keys[rnd])
     s = _INV_SBOX[s[:, _INV_SHIFT]]

@@ -17,6 +17,19 @@ def test_fips197_vectors():
     assert aes.encrypt_block(pt2, key2).hex() == "3925841d02dc09fbdc118597196a0b32"
 
 
+def test_fips197_aes256_vector():
+    # FIPS-197 Appendix C.3 (AES-256) + decrypt round trip
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = aes.encrypt_block(pt, key)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    rk = aes.expand_key(key)
+    assert rk.shape == (15, 16)
+    back = aes.decrypt_blocks(
+        np.frombuffer(ct, dtype=np.uint8).reshape(1, 16), rk).tobytes()
+    assert back == pt
+
+
 def test_nist_cbc_vector():
     # NIST SP 800-38A F.2.1 (first block)
     k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")

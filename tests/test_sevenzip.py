@@ -1,0 +1,72 @@
+"""Password-protected 7z subset: writer↔reader round trips per layout,
+number codec, KDF determinism, failure modes (reference prep layer,
+test_convert.py:262-298)."""
+
+import io
+
+import pytest
+
+from jimmy_ray.sources import sevenzip as sz
+
+MEMBERS = [
+    ("Doc 7.md", b"# Doc 7\n\nhello world " * 10),
+    ("meta/source.txt", b"export 7"),
+    ("unicode éß.md", "café ✓".encode("utf-8")),
+]
+
+
+def test_number_codec_roundtrip():
+    for n in (0, 1, 0x7F, 0x80, 0xFF, 0x100, 0x3FFF, 0x4000, 0xFFFF,
+              0x1FFFFF, 0x200000, 0xFFFFFFFF, 0x123456789ABCDEF0,
+              2**63, 2**64 - 1):
+        enc = sz.write_number(n)
+        assert sz.read_number(io.BytesIO(enc)) == n, hex(n)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("encrypt_header", [False, True])
+def test_encrypted_roundtrip_all_layouts(compress, encrypt_header):
+    archive = sz.build_7z(MEMBERS, password="pw", compress=compress,
+                          encrypt_header=encrypt_header, cycles_power=8)
+    assert archive[:6] == sz.SIGNATURE
+    assert sz.parse_7z(archive, "pw") == MEMBERS
+    if encrypt_header:
+        # -mhe=on: filenames must not appear in the archive bytes
+        assert "Doc 7.md".encode("utf-16-le") not in archive
+
+
+def test_plain_archive_needs_no_password():
+    archive = sz.build_7z(MEMBERS, password=None, compress=True)
+    assert sz.parse_7z(archive) == MEMBERS
+
+
+def test_wrong_or_missing_password_fails():
+    archive = sz.build_7z(MEMBERS, password="pw", encrypt_header=True,
+                          cycles_power=8)
+    with pytest.raises(Exception):
+        sz.parse_7z(archive, "wrong")
+    with pytest.raises(ValueError):
+        sz.parse_7z(archive)          # encrypted, no password given
+
+
+def test_corrupt_archive_detected_by_crc():
+    archive = bytearray(sz.build_7z(MEMBERS, password=None))
+    archive[-3] ^= 0xFF               # flip a next-header byte
+    with pytest.raises(ValueError, match="CRC"):
+        sz.parse_7z(bytes(archive))
+
+
+def test_kdf_deterministic_and_power_sensitive():
+    k1 = sz.derive_key("pw", b"s" * 16, 8)
+    assert k1 == sz.derive_key("pw", b"s" * 16, 8)
+    assert len(k1) == 32
+    assert k1 != sz.derive_key("pw", b"s" * 16, 9)
+    assert k1 != sz.derive_key("pw2", b"s" * 16, 8)
+
+
+def test_archives_are_byte_deterministic():
+    a = sz.synth_7z(5, "stable text")
+    assert a == sz.synth_7z(5, "stable text")
+    out = sz.parse_7z(a, sz.PASSWORD)
+    assert out[0][0] == "Doc 5.md"
+    assert out[0][1].decode() == "# Doc 5\n\nstable text"
