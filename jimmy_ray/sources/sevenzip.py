@@ -13,16 +13,19 @@ format documentation (7zFormat.txt / 7zC readme):
   LE64 counter for 2^NumCyclesPower rounds) on top of the vectorized
   AES-256 core in jimmy_ray.scalars.aes,
 - plaintext headers and encrypted headers (kEncodedHeader, the
-  ``7z a -p -mhe=on`` layout where even filenames are encrypted).
+  ``7z a -p -mhe=on`` layout where even filenames are encrypted),
+- solid folders (kSubStreamsInfo, the ``7z a`` default where many
+  files share one compressed folder and the header carries per-member
+  split sizes).
 
 Both a reader (``parse_7z``) and a writer (``build_7z``) exist so the
 archive layer is oracle-checkable end-to-end without any external tool:
 ``sevenzip_extract`` routes each document through copy/LZMA chains and
 plain/encrypted headers, and every path round-trips to the same text.
 
-Scope boundary: multi-stream folders (BCJ2), delta filters and archives
-with substream splitting raise ValueError — real-world password exports
-(py7zr default: LZMA+AES single chain) fit the subset.
+Scope boundary: multi-stream folders (BCJ2) and delta filters raise
+ValueError — real-world password exports (py7zr default: LZMA+AES
+single chain; 7z CLI default: solid LZMA folders) fit the subset.
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ K_END, K_HEADER = 0x00, 0x01
 K_MAIN_STREAMS, K_FILES_INFO = 0x04, 0x05
 K_PACK_INFO, K_UNPACK_INFO, K_SUBSTREAMS = 0x06, 0x07, 0x08
 K_SIZE, K_CRC, K_FOLDER, K_UNPACK_SIZES = 0x09, 0x0A, 0x0B, 0x0C
+K_NUM_UNPACK_STREAM = 0x0D
 K_NAME, K_ENCODED_HEADER = 0x11, 0x17
 
 ID_COPY = b"\x00"
@@ -183,7 +187,15 @@ def _decode_folder(coders: list[dict], bind_pairs: list[tuple[int, int]],
                     "pb": props[0] // 45}
             dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW,
                                         filters=[filt])
-            return dec.decompress(data, max_length=size)
+            # one call may yield < max_length (internal buffering, e.g.
+            # AES zero-padding after a solid stream) — drain until size
+            out = dec.decompress(data, max_length=size)
+            while len(out) < size and not dec.eof:
+                chunk = dec.decompress(b"", max_length=size - len(out))
+                if not chunk:
+                    break
+                out += chunk
+            return out
         if coder["id"] == ID_AES256:
             if password is None:
                 raise ValueError("archive is encrypted; password required")
@@ -262,7 +274,8 @@ def _parse_folder(buf: io.BytesIO) -> tuple[list[dict], list[tuple[int, int]]]:
 
 def _streams_info(pack_pos: int, pack_sizes: list[int],
                   folder_defs: list[bytes],
-                  folder_sizes: list[list[int]]) -> bytes:
+                  folder_sizes: list[list[int]],
+                  substream_sizes: list[list[int]] | None = None) -> bytes:
     out = bytearray([K_PACK_INFO])
     out += write_number(pack_pos) + write_number(len(pack_sizes))
     out.append(K_SIZE)
@@ -279,6 +292,17 @@ def _streams_info(pack_pos: int, pack_sizes: list[int],
         for s in sizes:
             out += write_number(s)
     out.append(K_END)
+    if substream_sizes is not None:  # solid layout: files share folders
+        out.append(K_SUBSTREAMS)
+        out.append(K_NUM_UNPACK_STREAM)
+        for sub in substream_sizes:
+            out += write_number(len(sub))
+        out.append(K_SIZE)  # all but the last size per multi-file folder
+        for sub in substream_sizes:
+            if len(sub) > 1:
+                for s in sub[:-1]:
+                    out += write_number(s)
+        out.append(K_END)
     out.append(K_END)
     return bytes(out)
 
@@ -291,26 +315,42 @@ def _det_bytes(tag: bytes, n: int) -> bytes:
 
 def build_7z(members: list[tuple[str, bytes]], password: str | None = None,
              compress: bool = True, encrypt_header: bool = False,
-             cycles_power: int = CYCLES_POWER) -> bytes:
-    """Write an archive: one folder per member (Copy|LZMA1 → AES when a
-    password is given), optionally wrapping the header itself in an
+             cycles_power: int = CYCLES_POWER, solid: bool = False) -> bytes:
+    """Write an archive: one folder per member — or, with ``solid=True``,
+    ALL members concatenated into one folder with kSubStreamsInfo sizes
+    (the ``7z a`` default layout) — each folder a Copy|LZMA1 → AES chain
+    when a password is given, optionally wrapping the header itself in an
     AES-coded kEncodedHeader stream (-mhe=on layout)."""
     pack = bytearray()
     pack_sizes: list[int] = []
     folder_defs: list[bytes] = []
     folder_sizes: list[list[int]] = []
-    for idx, (name, data) in enumerate(members):
-        salt = _det_bytes(f"salt/{idx}/{name}".encode(), 16)
-        iv = _det_bytes(f"iv/{idx}/{name}".encode(), 16)
-        stream, fdef, sizes = _encode_folder(data, password, compress,
+    substream_sizes: list[list[int]] | None = None
+    if solid:
+        salt = _det_bytes(b"salt/solid", 16)
+        iv = _det_bytes(b"iv/solid", 16)
+        blob = b"".join(data for _, data in members)
+        stream, fdef, sizes = _encode_folder(blob, password, compress,
                                              salt, iv, cycles_power)
         pack += stream
         pack_sizes.append(len(stream))
         folder_defs.append(fdef)
         folder_sizes.append(sizes)
+        substream_sizes = [[len(data) for _, data in members]]
+    else:
+        for idx, (name, data) in enumerate(members):
+            salt = _det_bytes(f"salt/{idx}/{name}".encode(), 16)
+            iv = _det_bytes(f"iv/{idx}/{name}".encode(), 16)
+            stream, fdef, sizes = _encode_folder(data, password, compress,
+                                                 salt, iv, cycles_power)
+            pack += stream
+            pack_sizes.append(len(stream))
+            folder_defs.append(fdef)
+            folder_sizes.append(sizes)
 
     header = bytearray([K_HEADER, K_MAIN_STREAMS])
-    header += _streams_info(0, pack_sizes, folder_defs, folder_sizes)
+    header += _streams_info(0, pack_sizes, folder_defs, folder_sizes,
+                            substream_sizes)
     header.append(K_FILES_INFO)
     header += write_number(len(members))
     names = b"".join(n.encode("utf-16-le") + b"\x00\x00" for n, _ in members)
@@ -386,10 +426,43 @@ def _parse_streams_info(buf: io.BytesIO) -> dict:
                 else:
                     raise ValueError(f"unexpected UnpackInfo property {sub}")
         elif kind == K_SUBSTREAMS:
-            raise ValueError("substream splitting unsupported "
-                             "(one file per folder in this subset)")
+            n_folders = len(info["folders"])
+            counts = [1] * n_folders
+            sizes: list[list[int]] | None = None
+            while True:
+                sub = buf.read(1)[0]
+                if sub == K_END:
+                    break
+                if sub == K_NUM_UNPACK_STREAM:
+                    counts = [read_number(buf) for _ in range(n_folders)]
+                elif sub == K_SIZE:
+                    # per multi-file folder: all sizes but the last
+                    # (the last = folder unpack size − the others)
+                    sizes = []
+                    for fi, c in enumerate(counts):
+                        total = _folder_unpack_size(info["folders"][fi])
+                        head = [read_number(buf) for _ in range(c - 1)]
+                        sizes.append(head + [total - sum(head)])
+                elif sub == K_CRC:
+                    _skip_digests(buf, sum(counts))
+                else:
+                    raise ValueError(
+                        f"unexpected SubStreamsInfo property {sub}")
+            if sizes is None:
+                sizes = [[_folder_unpack_size(info["folders"][fi])]
+                         for fi in range(n_folders)]
+            info["substreams"] = {"counts": counts, "sizes": sizes}
         else:
             raise ValueError(f"unexpected StreamsInfo property {kind}")
+
+
+def _folder_unpack_size(folder: dict) -> int:
+    """Size of the folder's final output = the one out-stream no bind
+    pair consumes (same rule as _decode_folder's final_out)."""
+    consumed = {out for _, out in folder["bind_pairs"]}
+    final_out = next(i for i in range(len(folder["coders"]))
+                     if i not in consumed)
+    return folder["sizes"][final_out]
 
 
 def _skip_digests(buf: io.BytesIO, n: int) -> None:
@@ -446,7 +519,17 @@ def parse_7z(payload: bytes,
             break
         if kind == K_MAIN_STREAMS:
             info = _parse_streams_info(buf)
-            streams = _decode_streams(payload, 32, info, password)
+            folder_blobs = _decode_streams(payload, 32, info, password)
+            sub = info.get("substreams")
+            if sub is None:
+                streams = folder_blobs
+            else:  # solid folders: slice each blob into its members
+                streams = []
+                for blob, sizes in zip(folder_blobs, sub["sizes"]):
+                    pos = 0
+                    for s in sizes:
+                        streams.append(blob[pos:pos + s])
+                        pos += s
         elif kind == K_FILES_INFO:
             n_files = read_number(buf)
             while True:
@@ -463,8 +546,7 @@ def parse_7z(payload: bytes,
         else:
             raise ValueError(f"unexpected header property {kind}")
     if len(names) != len(streams):
-        raise ValueError("file count / folder count mismatch "
-                         "(substream archives unsupported)")
+        raise ValueError("file count / stream count mismatch")
     return list(zip(names, streams))
 
 
@@ -474,11 +556,12 @@ PASSWORD = "fixture-password"
 
 
 def synth_7z(doc_id: int, text: str) -> bytes:
-    """Per-document encrypted archive exercising all four layouts:
-    doc_id%2 toggles Copy vs LZMA1 chains, doc_id%3==0 adds the
-    encrypted-header (-mhe=on) wrapping.  cycles_power 10 keeps the
-    fixture KDF cheap; the format field carries it, so the reader
-    handles any cost."""
+    """Per-document encrypted archive exercising every layout: doc_id%2
+    toggles Copy vs LZMA1 chains, doc_id%3==0 adds the encrypted-header
+    (-mhe=on) wrapping, doc_id%5==0 packs both members into one solid
+    folder (kSubStreamsInfo, the 7z CLI default).  cycles_power 10
+    keeps the fixture KDF cheap; the format field carries it, so the
+    reader handles any cost."""
     members = [
         (f"Doc {doc_id}.md", f"# Doc {doc_id}\n\n{text}".encode()),
         ("meta/source.txt", f"export {doc_id}".encode()),
@@ -486,7 +569,8 @@ def synth_7z(doc_id: int, text: str) -> bytes:
     return build_7z(members, password=PASSWORD,
                     compress=doc_id % 2 == 1,
                     encrypt_header=doc_id % 3 == 0,
-                    cycles_power=10)
+                    cycles_power=10,
+                    solid=doc_id % 5 == 0)
 
 
 def sevenzip_extract(sf_dir: str):

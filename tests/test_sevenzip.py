@@ -35,6 +35,29 @@ def test_encrypted_roundtrip_all_layouts(compress, encrypt_header):
         assert "Doc 7.md".encode("utf-16-le") not in archive
 
 
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("password", [None, "pw"])
+def test_solid_folder_substreams_roundtrip(compress, password):
+    archive = sz.build_7z(MEMBERS, password=password, compress=compress,
+                          cycles_power=8, solid=True)
+    assert sz.parse_7z(archive, password) == MEMBERS
+    if compress:
+        # solid layout must actually share one folder (one pack stream):
+        # the archive is smaller than the one-folder-per-member build
+        per_member = sz.build_7z(MEMBERS, password=password,
+                                 compress=True, cycles_power=8)
+        assert len(archive) < len(per_member)
+
+
+def test_solid_empty_member_and_single_member():
+    members = [("a.md", b""), ("b.md", b"x" * 100), ("c.md", b"")]
+    archive = sz.build_7z(members, password="pw", cycles_power=8,
+                          solid=True)
+    assert sz.parse_7z(archive, "pw") == members
+    one = sz.build_7z(members[:1], solid=True)
+    assert sz.parse_7z(one) == members[:1]
+
+
 def test_plain_archive_needs_no_password():
     archive = sz.build_7z(MEMBERS, password=None, compress=True)
     assert sz.parse_7z(archive) == MEMBERS
