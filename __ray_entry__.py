@@ -392,6 +392,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "sevenzip_extract": lambda sf: __import__(
             "jimmy_ray.sources.sevenzip", fromlist=["x"]
         ).sevenzip_extract(sf),
+        "container_dispatch": lambda sf: __import__(
+            "jimmy_ray.sources.container_dispatch", fromlist=["x"]
+        ).container_dispatch(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -780,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
         "sevenzip_extract": __import__(
             "jimmy_ray.sources.sevenzip", fromlist=["x"]
         ).sql_sevenzip_extract(),
+        "container_dispatch": __import__(
+            "jimmy_ray.sources.container_dispatch", fromlist=["x"]
+        ).sql_container_dispatch(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

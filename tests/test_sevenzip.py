@@ -93,3 +93,49 @@ def test_archives_are_byte_deterministic():
     out = sz.parse_7z(a, sz.PASSWORD)
     assert out[0][0] == "Doc 5.md"
     assert out[0][1].decode() == "# Doc 5\n\nstable text"
+
+
+# --- container dispatch (sniff + explode + per-format member parse) ---------
+
+from jimmy_ray.sources import container_dispatch as cd
+
+
+def test_sniff_and_explode_all_kinds():
+    for doc_id, want_kind in [(0, "zip"), (1, "sevenzip"), (2, "tar"),
+                              (3, "zip"), (4, "sevenzip")]:
+        payload = cd.synth_container(doc_id, "some text")
+        assert cd.sniff_container(payload) == want_kind
+        members = cd.explode_container(payload, sz.PASSWORD)
+        assert [m for m, _ in members] == [
+            f"Doc {doc_id}.md", "notes/body.html", "meta/source.txt"]
+    assert cd.sniff_container(b"plain bytes, no magic here" + b"\0" * 300) is None
+
+
+def test_container_stage_rows_and_dead_letter():
+    import pyarrow as pa
+    stage = cd.ContainerDispatchStage(password=sz.PASSWORD)
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 99], pa.int64()),
+        "payload": pa.array([cd.synth_container(0, "alpha beta"),
+                             cd.synth_container(1, "gamma delta"),
+                             b"not a container" + b"\0" * 300], pa.binary()),
+    })
+    out = stage(batch).to_pydict()
+    assert out["doc_id"] == [0, 0, 0, 1, 1, 1, 99]
+    assert out["text"][0] == "# Doc 0\n\nalpha beta"
+    assert out["text"][1] == "# Doc 0\n\nalpha beta"      # html → same md
+    assert out["text"][2] == "export 0"
+    assert out["fmt"][:3] == ["markdown", "html", "text"]
+    assert out["error"][:6] == [None] * 6
+    assert out["error"][6] == "unrecognized container magic"
+
+
+def test_container_stage_wrong_password_is_error_row():
+    import pyarrow as pa
+    stage = cd.ContainerDispatchStage(password="wrong")
+    batch = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "payload": pa.array([cd.synth_container(1, "t")], pa.binary()),
+    })
+    out = stage(batch).to_pydict()
+    assert len(out["doc_id"]) == 1 and out["error"][0]
