@@ -12,9 +12,21 @@ Stream filters (PDF 32000-1 §7.4, public spec):
 - ``/FlateDecode`` — stdlib zlib (RFC 1950),
 - ``/LZWDecode`` — pure-python variable-width LZW (9→12 bits, clear 256,
   EOD 257, EarlyChange 1), round-trip tested against the fixture encoder,
-- PNG predictors 10-15 (``/DecodeParms /Predictor``) for either filter,
-- anything else (DCT, JBIG2, crypt filters) still raises — the remaining
-  stub boundary where a real codec engine slots in.
+- ``/ASCIIHexDecode`` / ``/ASCII85Decode`` / ``/RunLengthDecode`` —
+  §7.4.2/3/5, including ``/Filter [..]`` arrays applied in order,
+- PNG predictors 10-15 (``/DecodeParms /Predictor``) for any filter,
+- anything else (DCT, JBIG2) still raises — the remaining stub boundary
+  where a real codec engine slots in.
+
+Encrypted PDFs (§7.6, the standard security handler): ``/Encrypt``
+dictionaries with ``/V 1``/``/V 2`` (RC4 40-128 bit) and ``/V 4``
+``/CFM /AESV2`` (AES-128-CBC over the vectorized AES core in
+jimmy_ray.scalars.aes) decrypt with the documented Algorithms 2-7 —
+padded-password MD5 key derivation, 50+19 round rev-3 hardening,
+per-object keys (obj/gen salt, ``sAlT`` suffix for AES).  The /U entry
+authenticates the password before any stream is touched.  Both
+directions exist (the fixture writer emits real encrypted PDFs), so the
+encrypted paths are oracle-checked end-to-end.
 
 Cross-reference streams (PDF 1.5, §7.5.8): ``parse_xref_stream`` walks
 ``startxref`` → the /Type /XRef stream (decoding /W-packed columns
@@ -38,8 +50,6 @@ import pyarrow as pa
 
 # dict matchers tolerate one nesting level (e.g. /DecodeParms << ... >>)
 _DICT_BODY = rb"((?:[^<>]|<<[^<>]*>>)*)"
-_STREAM_RE = re.compile(rb"<<" + _DICT_BODY + rb">>\s*stream\r?\n(.*?)endstream",
-                        re.S)
 _TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.S)
 _OP_RE = re.compile(
     rb"\((?P<str>(?:\\.|[^\\()])*)\)\s*Tj"      # (..) Tj
@@ -170,6 +180,65 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# --- ASCIIHex / ASCII85 / RunLength (§7.4.2, §7.4.3, §7.4.5) ---------------
+
+def asciihex_decode(data: bytes) -> bytes:
+    body = data.split(b">")[0]
+    body = bytes(body.translate(None, b" \t\r\n\f\v"))
+    if len(body) % 2:  # odd count: spec appends a trailing 0
+        body += b"0"
+    return bytes.fromhex(body.decode("ascii"))
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data.split(b"~>")[0]
+    return base64.a85decode(body, adobe=False,
+                            ignorechars=b" \t\r\n\f\v")
+
+
+def runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:  # EOD
+            break
+        if n < 128:
+            out += data[i + 1:i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1:i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def runlength_encode(data: bytes) -> bytes:
+    """Fixture-side encoder: repeat runs ≥3 as (257-len, byte), literals
+    chunked at 128."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and run < 128
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < len(data) and j - i < 128:
+            if (j + 2 < len(data) and data[j] == data[j + 1] == data[j + 2]):
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
 # --- PNG predictors (/DecodeParms /Predictor >= 10; RFC 2083 filters) ------
 
 def png_predictor_decode(data: bytes, columns: int, colors: int = 1) -> bytes:
@@ -215,21 +284,35 @@ def _dict_int(d: bytes, key: bytes, default: int | None = None) -> int | None:
     return int(m.group(1)) if m else default
 
 
+_FILTER_NAME_RE = re.compile(
+    rb"/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode"
+    rb"|RunLengthDecode|DCTDecode|JBIG2Decode|JPXDecode|CCITTFaxDecode)")
+
 def decode_stream(stream_dict: bytes, body: bytes) -> bytes:
-    """Apply /Filter (+ /DecodeParms predictor) to a stream body."""
+    """Apply the /Filter chain (single name or array, in order) plus the
+    /DecodeParms predictor to a stream body."""
     import zlib
 
     if b"/Filter" not in stream_dict:
         return body
-    if b"/FlateDecode" in stream_dict:
-        body = zlib.decompress(body)
-    elif b"/LZWDecode" in stream_dict:
-        body = lzw_decode(body)
-    else:
-        raise NotImplementedError(
-            "unsupported PDF stream filter (DCT/JBIG2/crypt need a codec "
-            "library; converter.py:295-306 covers them via pdf_oxide)"
-        )
+    names = _FILTER_NAME_RE.findall(stream_dict)
+    for name in names:
+        if name == b"FlateDecode":
+            body = zlib.decompress(body)
+        elif name == b"LZWDecode":
+            body = lzw_decode(body)
+        elif name == b"ASCIIHexDecode":
+            body = asciihex_decode(body)
+        elif name == b"ASCII85Decode":
+            body = ascii85_decode(body)
+        elif name == b"RunLengthDecode":
+            body = runlength_decode(body)
+        else:
+            raise NotImplementedError(
+                f"unsupported PDF stream filter {name.decode()} (image "
+                "codecs need a codec library; converter.py:295-306 covers "
+                "them via pdf_oxide)"
+            )
     pred = _dict_int(stream_dict, b"Predictor", 1)
     if pred >= 10:
         columns = _dict_int(stream_dict, b"Columns", 1)
@@ -240,6 +323,204 @@ def decode_stream(stream_dict: bytes, body: bytes) -> bytes:
     return body
 
 
+# --- encryption: standard security handler (§7.6.2-3, Algorithms 1-7) -------
+
+_PW_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A")
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public domain stream cipher; PDF §7.6.2)."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(c ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pad_password(pw: str) -> bytes:
+    raw = pw.encode("latin-1", errors="replace")[:32]
+    return raw + _PW_PAD[:32 - len(raw)]
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 stream layout: 16-byte IV ‖ ciphertext, PKCS#7 padded."""
+    import numpy as np
+
+    from jimmy_ray.scalars import aes
+
+    iv, ct = data[:16], data[16:]
+    rk = aes.expand_key(key)
+    blocks = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16)
+    prev = np.concatenate([
+        np.frombuffer(iv, dtype=np.uint8).reshape(1, 16), blocks[:-1]])
+    plain = (aes.decrypt_blocks(blocks, rk) ^ prev).tobytes()
+    return plain[:-plain[-1]] if plain else plain
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    import numpy as np
+
+    from jimmy_ray.scalars import aes
+
+    pad = 16 - len(data) % 16
+    padded = data + bytes([pad]) * pad
+    rk = aes.expand_key(key)
+    blocks = np.frombuffer(padded, dtype=np.uint8).reshape(-1, 16)
+    out = np.empty_like(blocks)
+    prev = np.frombuffer(iv, dtype=np.uint8)
+    for j in range(blocks.shape[0]):
+        prev = aes.encrypt_blocks((blocks[j] ^ prev).reshape(1, 16), rk)[0]
+        out[j] = prev
+    return iv + out.tobytes()
+
+
+def _std_file_key(user_pw: str, o_entry: bytes, p: int, file_id: bytes,
+                  rev: int, keylen: int) -> bytes:
+    """Algorithm 2: the file encryption key from the user password."""
+    import hashlib
+
+    h = hashlib.md5(_pad_password(user_pw) + o_entry
+                    + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id)
+    d = h.digest()
+    if rev >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d[:keylen]).digest()
+    return d[:keylen]
+
+
+def _std_o_entry(owner_pw: str, user_pw: str, rev: int,
+                 keylen: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    import hashlib
+
+    d = hashlib.md5(_pad_password(owner_pw)).digest()
+    if rev >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d).digest()
+    key = d[:keylen]
+    o = rc4(key, _pad_password(user_pw))
+    if rev >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_u_entry(file_key: bytes, file_id: bytes, rev: int) -> bytes:
+    """Algorithm 4 (rev 2) / Algorithm 5 (rev ≥3): the /U entry."""
+    import hashlib
+
+    if rev == 2:
+        return rc4(file_key, _PW_PAD)
+    u = rc4(file_key, hashlib.md5(_PW_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
+
+
+_HEX_STR_RE_T = rb"/%s\s*<([0-9A-Fa-f\s]*)>"
+_LIT_STR_RE_T = rb"/%s\s*\(((?:\\.|[^\\()])*)\)"
+
+
+def _dict_string(d: bytes, key: bytes) -> bytes | None:
+    """A PDF string value (hex or literal-with-escapes) as raw bytes."""
+    m = re.search(_HEX_STR_RE_T % key, d)
+    if m:
+        body = bytes(m.group(1).translate(None, b" \t\r\n"))
+        if len(body) % 2:
+            body += b"0"
+        return bytes.fromhex(body.decode("ascii"))
+    m = re.search(_LIT_STR_RE_T % key, d, re.S)
+    if m:
+        out = bytearray()
+        raw = m.group(1)
+        i = 0
+        while i < len(raw):
+            if raw[i:i + 1] == b"\\" and i + 1 < len(raw):
+                nxt = raw[i + 1:i + 2]
+                if nxt.isdigit():
+                    j = i + 1
+                    while j < len(raw) and j < i + 4 and raw[j:j + 1].isdigit():
+                        j += 1
+                    out.append(int(raw[i + 1:j], 8) & 0xFF)
+                    i = j
+                    continue
+                out += _ESCAPES.get(nxt, nxt)
+                i += 2
+                continue
+            out.append(raw[i])
+            i += 1
+        return bytes(out)
+    return None
+
+
+class StdSecurityHandler:
+    """Decrypts strings/streams of a standard-security-handler PDF.
+
+    Supports /V 1-2 (RC4, 40-128 bit keys) and /V 4 with /CFM /AESV2
+    (AES-128-CBC).  Raises ValueError when the password fails the /U
+    check (Algorithm 6) or the handler revision is out of subset.
+    """
+
+    def __init__(self, enc_dict: bytes, file_id: bytes, password: str = ""):
+        if b"/Standard" not in enc_dict:
+            raise NotImplementedError("only the standard security handler "
+                                      "is supported")
+        self.v = _dict_int(enc_dict, b"V", 0)
+        self.rev = _dict_int(enc_dict, b"R", 2)
+        if self.v not in (1, 2, 4) or self.rev not in (2, 3, 4):
+            raise NotImplementedError(f"encryption V={self.v} R={self.rev} "
+                                      "out of subset (V5/R6 is AES-256)")
+        bits = _dict_int(enc_dict, b"Length", 40)
+        if bits >= 40:  # /Length in bits at the top level, bytes in /CF
+            self.keylen = bits // 8
+        else:
+            self.keylen = bits
+        self.aes = b"/AESV2" in enc_dict
+        o = _dict_string(enc_dict, b"O")
+        u = _dict_string(enc_dict, b"U")
+        p_m = re.search(rb"/P\s+(-?\d+)", enc_dict)
+        if o is None or u is None or p_m is None:
+            raise ValueError("encrypt dict missing /O, /U or /P")
+        p = int(p_m.group(1))
+        self.key = _std_file_key(password, o, p, file_id,
+                                 self.rev, self.keylen)
+        want = _std_u_entry(self.key, file_id, self.rev)
+        got = u
+        n = 16 if self.rev >= 3 else 32
+        if want[:n] != got[:n]:
+            raise ValueError("PDF password authentication failed (/U check)")
+
+    def object_key(self, num: int, gen: int) -> bytes:
+        import hashlib
+
+        salt = b"sAlT" if self.aes else b""
+        d = hashlib.md5(self.key + num.to_bytes(3, "little")
+                        + gen.to_bytes(2, "little") + salt).digest()
+        return d[:min(self.keylen + 5, 16)]
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        k = self.object_key(num, gen)
+        if self.aes:
+            return _aes_cbc_decrypt(k, data)
+        return rc4(k, data)
+
+    def encrypt(self, num: int, gen: int, data: bytes,
+                iv: bytes = b"") -> bytes:
+        k = self.object_key(num, gen)
+        if self.aes:
+            return _aes_cbc_encrypt(k, iv or bytes(16), data)
+        return rc4(k, data)
+
+
 # --- cross-reference streams (PDF 1.5; §7.5.8) ------------------------------
 
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)\s*%%EOF", re.S)
@@ -247,9 +528,13 @@ _OBJ_AT_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\s*<<" + _DICT_BODY
                         + rb">>\s*(?:stream\r?\n)?", re.S)
 
 
-def _stream_at(payload: bytes, offset: int) -> tuple[bytes, bytes] | None:
+def _stream_at(payload: bytes, offset: int,
+               crypt: StdSecurityHandler | None = None
+               ) -> tuple[bytes, bytes] | None:
     """(dict, decoded body) for the indirect stream object at offset,
-    sliced by /Length (exact — compressed bytes may contain 'endstream')."""
+    sliced by /Length (exact — compressed bytes may contain 'endstream').
+    ``crypt`` decrypts the body first (never the xref stream — §7.5.8.2
+    forbids encrypting it)."""
     m = _OBJ_AT_RE.match(payload, offset)
     if not m:
         return None
@@ -258,7 +543,10 @@ def _stream_at(payload: bytes, offset: int) -> tuple[bytes, bytes] | None:
     if length is None:
         return None
     start = m.end()
-    return d, decode_stream(d, payload[start:start + length])
+    body = payload[start:start + length]
+    if crypt is not None and b"/XRef" not in d:
+        body = crypt.decrypt(int(m.group(1)), int(m.group(2)), body)
+    return d, decode_stream(d, body)
 
 
 def parse_xref_stream(payload: bytes) -> dict[int, tuple[int, int, int]] | None:
@@ -330,20 +618,81 @@ def _scan_text_blocks(body: bytes, lines: list[str]) -> None:
             lines.append(current)
 
 
-def extract_pdf_text(payload: bytes) -> str:
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_OBJ_STREAM_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\s*<<" + _DICT_BODY
+                            + rb">>\s*stream\r?\n", re.S)
+
+
+def _scan_dict(payload: bytes, pos: int) -> bytes | None:
+    """Balanced ``<< … >>`` scan from payload[pos:], skipping hex and
+    literal strings (the regex dict matcher can't nest past one level;
+    encrypt dicts carry both hex strings and a /CF sub-sub-dict)."""
+    while pos < len(payload) and payload[pos:pos + 1].isspace():
+        pos += 1
+    if payload[pos:pos + 2] != b"<<":
+        return None
+    depth = 0
+    i = pos
+    while i < len(payload):
+        two = payload[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return payload[pos + 2:i - 2]
+        elif payload[i:i + 1] == b"<":  # hex string
+            j = payload.find(b">", i + 1)
+            i = j + 1 if j >= 0 else len(payload)
+        elif payload[i:i + 1] == b"(":  # literal string
+            i += 1
+            while i < len(payload) and payload[i:i + 1] != b")":
+                i += 2 if payload[i:i + 1] == b"\\" else 1
+            i += 1
+        else:
+            i += 1
+    return None
+
+
+def _security_handler(payload: bytes,
+                      password: str) -> StdSecurityHandler | None:
+    """Build the handler from the trailer's /Encrypt reference, or None
+    for unencrypted files."""
+    em = None
+    for em in _ENCRYPT_REF_RE.finditer(payload):
+        pass  # last trailer wins (incremental updates)
+    if em is None:
+        return None
+    num, gen = int(em.group(1)), int(em.group(2))
+    om = re.search(rb"(?<![0-9])%d\s+%d\s+obj" % (num, gen), payload)
+    enc_dict = _scan_dict(payload, om.end()) if om else None
+    if enc_dict is None:
+        raise ValueError("/Encrypt object not found")
+    idm = _ID_RE.search(payload)
+    file_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
+    return StdSecurityHandler(enc_dict, file_id, password)
+
+
+def extract_pdf_text(payload: bytes, password: str = "") -> str:
     """Stream text extraction: when the PDF carries an xref stream
     (PDF 1.5), visit type-1 objects at their recovered offsets in object
     order (exact /Length slicing); otherwise scan the whole file for
-    stream objects.  Flate/LZW (+ PNG predictors) decode; other filters
-    raise at the documented codec boundary."""
+    stream objects.  Encrypted files authenticate ``password`` against
+    /U and decrypt per-object; Flate/LZW/ASCIIHex/ASCII85/RunLength
+    (+ PNG predictors) decode; image codecs raise at the documented
+    boundary."""
     lines: list[str] = []
+    crypt = _security_handler(payload, password)
     xref = parse_xref_stream(payload)
     if xref:
         for obj in sorted(xref):
             typ, f2, _ = xref[obj]
             if typ != 1:
                 continue
-            got = _stream_at(payload, f2)
+            got = _stream_at(payload, f2, crypt)
             if got is None:
                 continue
             d, body = got
@@ -351,16 +700,36 @@ def extract_pdf_text(payload: bytes) -> str:
                 continue
             _scan_text_blocks(body, lines)
     else:
-        for m in _STREAM_RE.finditer(payload):
-            _scan_text_blocks(decode_stream(m.group(1), m.group(2)), lines)
+        for m in _OBJ_STREAM_RE.finditer(payload):
+            d = m.group(3)
+            length = _dict_int(d, b"Length")
+            body = None
+            if length is not None:
+                tail = payload[m.end() + length:m.end() + length + 16]
+                if tail.lstrip().startswith(b"endstream"):
+                    body = payload[m.end():m.end() + length]
+            if body is None:  # broken /Length: scan (real writers do this)
+                end = payload.find(b"endstream", m.end())
+                body = payload[m.end():end].rstrip(b"\r\n")
+            if crypt is not None:
+                body = crypt.decrypt(int(m.group(1)), int(m.group(2)), body)
+            _scan_text_blocks(decode_stream(d, body), lines)
     return "\n".join(lines)
+
+
+FIXTURE_PDF_PASSWORD = ""  # empty user password, the common real case
+_FIXTURE_FILE_ID = b"\xde\xad\xbe\xef" * 4
 
 
 def synth_pdf(doc_id: int, text: str, flate: bool = False,
               variant: str | None = None) -> bytes:
-    """Single-page fixture PDF.  variant ∈ {raw, flate, lzw, xref}; all
-    four extract to identical text (xref = PDF 1.5: Flate content + a
-    Flate/Predictor-12 cross-reference stream with real byte offsets)."""
+    """Single-page fixture PDF.  variant ∈ {raw, flate, lzw, a85, rle,
+    rc4, aes, xref}; all extract to identical text (xref = PDF 1.5:
+    Flate content + a Flate/Predictor-12 cross-reference stream with
+    real byte offsets; a85 = a [/ASCII85Decode /FlateDecode] filter
+    chain; rc4/aes = standard-security-handler encryption, RC4-128 /
+    AESV2, empty user password)."""
+    import hashlib
     import zlib
 
     if variant is None:
@@ -370,14 +739,51 @@ def synth_pdf(doc_id: int, text: str, flate: bool = False,
         f"0 -14 Td ({pdf_escape(text)}) Tj "
         f"0 -14 Td [(tail ) ({doc_id})] TJ ET"
     ).encode("utf-8")
-    if variant in ("flate", "xref"):
+    if variant in ("flate", "xref", "rc4", "aes"):
         content = zlib.compress(content, 6)
         filt = b"/Filter /FlateDecode "
     elif variant == "lzw":
         content = lzw_encode(content)
         filt = b"/Filter /LZWDecode "
+    elif variant == "a85":
+        import base64
+
+        content = base64.a85encode(zlib.compress(content, 6)) + b"~>"
+        filt = b"/Filter [/ASCII85Decode /FlateDecode] "
+    elif variant == "rle":
+        content = runlength_encode(content)
+        filt = b"/Filter /RunLengthDecode "
     else:
         filt = b""
+
+    trailer_extra = b""
+    encrypt_obj = b""
+    if variant in ("rc4", "aes"):
+        rev = 3 if variant == "rc4" else 4
+        keylen = 16
+        o = _std_o_entry("owner", FIXTURE_PDF_PASSWORD, rev, keylen)
+        p = -44
+        key = _std_file_key(FIXTURE_PDF_PASSWORD, o, p, _FIXTURE_FILE_ID,
+                            rev, keylen)
+        u = _std_u_entry(key, _FIXTURE_FILE_ID, rev)
+        if variant == "rc4":
+            enc_dict = (b"<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                        b"/P -44 /O <%s> /U <%s> >>"
+                        % (o.hex().encode(), u.hex().encode()))
+        else:
+            enc_dict = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                        b"/P -44 /O <%s> /U <%s> "
+                        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                        b"/StmF /StdCF /StrF /StdCF >>"
+                        % (o.hex().encode(), u.hex().encode()))
+        handler = StdSecurityHandler(enc_dict, _FIXTURE_FILE_ID,
+                                     FIXTURE_PDF_PASSWORD)
+        iv = hashlib.sha256(b"pdf-iv/%d" % doc_id).digest()[:16]
+        content = handler.encrypt(4, 0, content, iv)
+        encrypt_obj = b"\n6 0 obj " + enc_dict + b" endobj"
+        trailer_extra = (b" /Encrypt 6 0 R /ID [<%s> <%s>]"
+                         % ((_FIXTURE_FILE_ID.hex().encode(),) * 2))
+
     objs = [
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
         b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
@@ -386,8 +792,9 @@ def synth_pdf(doc_id: int, text: str, flate: bool = False,
         + content + b"\nendstream endobj",
     ]
     if variant != "xref":
-        return (b"%PDF-1.4\n" + b"\n".join(objs)
-                + b"\ntrailer << /Root 1 0 R >>\n%%EOF")
+        return (b"%PDF-1.4\n" + b"\n".join(objs) + encrypt_obj
+                + b"\ntrailer << /Root 1 0 R" + trailer_extra
+                + b" >>\n%%EOF")
 
     # PDF 1.5: cross-reference stream with real offsets, W [1 2 1],
     # PNG Up predictor (the layout real writers emit)
@@ -431,14 +838,16 @@ def pdf_extract(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
-    variants = ("raw", "flate", "lzw", "xref")
+    variants = ("raw", "flate", "lzw", "xref", "a85", "rle", "rc4", "aes")
 
     def fn(batch: pa.Table) -> pa.Table:
-        # doc_id % 4 routes across all four decode paths (raw, Flate,
-        # LZW, xref-stream); extracted text is identical in each, so the
-        # SQL mirror is unchanged and the oracle covers every branch
+        # doc_id % 8 routes across all eight decode paths (raw, Flate,
+        # LZW, xref-stream, ASCII85+Flate chain, RunLength, RC4-128
+        # encrypted, AESV2 encrypted); extracted text is identical in
+        # each, so the SQL mirror is unchanged and the oracle covers
+        # every branch
         texts = [
-            extract_pdf_text(synth_pdf(i, t, variant=variants[i % 4]))
+            extract_pdf_text(synth_pdf(i, t, variant=variants[i % 8]))
             for i, t in zip(batch["doc_id"].to_pylist(),
                             batch["text"].to_pylist())
         ]

@@ -175,7 +175,7 @@ def test_pdf_extract_subset():
     pdf = synth_pdf(1, "x").replace(b"(x)", b"(\\101\\102)")
     assert "AB" in extract_pdf_text(pdf)
     # every decode path extracts identically to the raw stream
-    for v in ("flate", "lzw", "xref"):
+    for v in ("flate", "lzw", "xref", "a85", "rle", "rc4", "aes"):
         assert extract_pdf_text(synth_pdf(7, "zip me", variant=v)) == \
             extract_pdf_text(synth_pdf(7, "zip me")), v
     other = synth_pdf(1, "x").replace(
@@ -206,6 +206,62 @@ def test_pdf_lzw_roundtrip_and_width_bumps():
     rep = b"tok " * 5_000
     assert len(lzw_encode(rep)) < len(rep) // 2
     assert lzw_decode(lzw_encode(rep)) == rep
+
+
+def test_pdf_filter_codecs_roundtrip():
+    """ASCIIHex / ASCII85 / RunLength decode per §7.4.2/3/5."""
+    import base64
+
+    import numpy as np
+
+    from jimmy_ray.sources.pdf import (
+        ascii85_decode, asciihex_decode, runlength_decode, runlength_encode)
+
+    rng = np.random.default_rng(3)
+    for data in (b"", b"A", b"hello world", bytes(rng.integers(0, 256, 999)),
+                 b"\x00" * 500, b"ab" * 300):
+        assert asciihex_decode(data.hex().encode() + b" \n>") == data
+        assert ascii85_decode(base64.a85encode(data) + b"~>") == data
+        assert runlength_decode(runlength_encode(data)) == data
+    assert asciihex_decode(b"48656C6C6F>") == b"Hello"
+    assert asciihex_decode(b"48656C6C6F7>") == b"Hello\x70"  # odd: pad 0
+    rep = b"x" * 1000
+    assert len(runlength_encode(rep)) < 30
+
+
+def test_pdf_rc4_known_vector_and_std_handler():
+    """RC4 classic test vector; standard-security-handler key derivation
+    round-trips through its own /O + /U entries (Algorithms 2-5)."""
+    from jimmy_ray.sources import pdf
+
+    assert pdf.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert pdf.rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    # handler: derive key from the fixture's own O/U, both revisions
+    for rev, cfm in ((3, b""), (4, b"/CF << /StdCF << /CFM /AESV2 "
+                                   b"/Length 16 >> >> ")):
+        o = pdf._std_o_entry("owner", "", rev, 16)
+        key = pdf._std_file_key("", o, -44, b"\x01" * 16, rev, 16)
+        u = pdf._std_u_entry(key, b"\x01" * 16, rev)
+        d = (b"/Filter /Standard /V %d /R %d /Length 128 /P -44 "
+             b"/O <%s> /U <%s> %s"
+             % (2 if rev == 3 else 4, rev, o.hex().encode(),
+                u.hex().encode(), cfm))
+        h = pdf.StdSecurityHandler(d, b"\x01" * 16, "")
+        assert h.key == key and h.aes == (rev == 4)
+        blob = b"secret stream content, longer than one block" * 3
+        assert h.decrypt(4, 0, h.encrypt(4, 0, blob, b"\x02" * 16)) == blob
+
+
+def test_pdf_encrypted_fixture_fails_wrong_password():
+    import pytest
+
+    from jimmy_ray.sources.pdf import extract_pdf_text, synth_pdf
+
+    for v in ("rc4", "aes"):
+        p = synth_pdf(5, "top secret", variant=v)
+        assert b"top secret" not in p          # content actually encrypted
+        with pytest.raises(ValueError, match="authentication failed"):
+            extract_pdf_text(p, password="wrong")
 
 
 def test_pdf_xref_stream_parsing_and_predictor():
