@@ -1,18 +1,25 @@
-"""Signal chat transcript reader (post-sigexport model shape).
+"""Signal chat transcript reader over a real SQLCipher message store.
 
 Behavior port of /root/reference/src/jimmy/formats/signal.py:21-55.  The
-reference drives ``sigexport`` to decrypt the SQLCipher message store —
-that decrypt is the env-blocked boundary (no sigexport / SQLCipher in
-this environment, like pandoc/one2html).  Everything downstream is real
-conversion logic and is ported here over the decoded model shape:
+reference drives ``sigexport`` to open Signal Desktop's SQLCipher
+message database; since round 4 the store decrypt itself is REAL here —
+``jimmy_ray.scalars.sqlcipher`` implements the published SQLCipher v4
+page format (PBKDF2-HMAC-SHA512 → AES-256-CBC per page + per-page
+HMAC), so the fixture is an actual encrypted SQLite database and the
+pipeline runs decrypt → sqlite parse → chat render end-to-end.  The
+remaining boundary is only sigexport's key retrieval from the OS
+keyring/Signal config (environment-specific secrets, not a format).
 
+Conversion semantics (signal.py:25-52):
 - one note per chat, titled by contact name
 - each message renders ``YYYY-MM-DD HH:MM:SS, **sender**:`` then the
   body; quoted messages emit prefix / quote / body as three blocks
 - attachments append markdown links (image links by suffix)
 - note ``created`` = first message date, ``updated`` = last
 
-The fixture synthesizes decoded chats per document with a SQL mirror.
+The fixture synthesizes per-document encrypted stores with a SQL
+mirror (the rendered output is layout-independent, so the mirror is
+unchanged by the encryption layer).
 """
 
 from __future__ import annotations
@@ -82,6 +89,59 @@ def parse_signal(raw: str) -> list[dict]:
     return rows
 
 
+# --- encrypted store layer (real SQLCipher, scalars/sqlcipher.py) ----------
+
+STORE_PASSWORD = "signal-store-key"
+STORE_SALT = bytes.fromhex("aa1f0e4c52e60b1d3c5a49d7fb28c693")
+_FIXTURE_KDF_ITER = 256  # v4 default is 256 000; fixtures keep KDF cheap
+
+
+def _store_plain(doc_id: int, text: str) -> bytes:
+    """The plaintext message store: one ``messages(chat TEXT, data
+    TEXT)`` row per chat, data = the decoded message list JSON."""
+    from jimmy_ray.scalars import sqlcipher
+
+    chats = json.loads(synth_signal_chats(doc_id, text))["chats"]
+    rows = [[name, json.dumps(messages)] for name, messages in chats.items()]
+    return sqlcipher.build_minidb("messages", ["chat TEXT", "data TEXT"],
+                                  rows)
+
+
+def synth_signal_store(doc_id: int, text: str) -> bytes:
+    """A SQLCipher-encrypted SQLite database shaped like a message
+    store (one store key, the real Signal Desktop layout)."""
+    from jimmy_ray.scalars import sqlcipher
+
+    return sqlcipher.encrypt_database(_store_plain(doc_id, text),
+                                      STORE_PASSWORD, STORE_SALT,
+                                      kdf_iter=_FIXTURE_KDF_ITER)
+
+
+def parse_signal_store(payload: bytes, password: str = STORE_PASSWORD,
+                       kdf_iter: int = _FIXTURE_KDF_ITER) -> list[dict]:
+    """Decrypt the SQLCipher store, read the messages table through
+    stock sqlite3, render each chat (the sigexport → model step, minus
+    the OS-keyring key retrieval)."""
+    import sqlite3
+
+    from jimmy_ray.scalars import sqlcipher
+
+    plain = sqlcipher.decrypt_database(payload, password, kdf_iter)
+    con = sqlite3.connect(":memory:")
+    try:
+        con.deserialize(plain)
+        chats = con.execute(
+            "SELECT chat, data FROM messages ORDER BY rowid").fetchall()
+    finally:
+        con.close()
+    rows = []
+    for title, data in chats:
+        body, created, updated = render_chat(json.loads(data))
+        rows.append({"title": title.strip(), "body": body,
+                     "created_s": created, "updated_s": updated})
+    return rows
+
+
 def signal_extract(sf_dir: str):
     import ray.data as rd
 
@@ -89,10 +149,18 @@ def signal_extract(sf_dir: str):
                            columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
+        from jimmy_ray.scalars import sqlcipher
+
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        # encrypt the whole batch's stores in one vectorized AES pass
+        # (CBC chains per page; pages across docs run in lockstep)
+        stores = sqlcipher.encrypt_databases(
+            [_store_plain(d, t) for d, t in zip(doc_ids, texts)],
+            STORE_PASSWORD, STORE_SALT, kdf_iter=_FIXTURE_KDF_ITER)
         ids, titles, bodies, created, updated = [], [], [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            for row in parse_signal(synth_signal_chats(doc_id, text)):
+        for doc_id, payload in zip(doc_ids, stores):
+            for row in parse_signal_store(payload):
                 ids.append(doc_id)
                 titles.append(row["title"])
                 bodies.append(row["body"])
