@@ -395,6 +395,15 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "container_dispatch": lambda sf: __import__(
             "jimmy_ray.sources.container_dispatch", fromlist=["x"]
         ).container_dispatch(sf),
+        "docx_extract": lambda sf: __import__(
+            "jimmy_ray.sources.wordproc", fromlist=["x"]
+        ).docx_extract(sf),
+        "odt_extract": lambda sf: __import__(
+            "jimmy_ray.sources.wordproc", fromlist=["x"]
+        ).odt_extract(sf),
+        "rtf_extract": lambda sf: __import__(
+            "jimmy_ray.sources.wordproc", fromlist=["x"]
+        ).rtf_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -786,6 +795,15 @@ def oracle_sql() -> dict[str, str]:
         "container_dispatch": __import__(
             "jimmy_ray.sources.container_dispatch", fromlist=["x"]
         ).sql_container_dispatch(),
+        "docx_extract": __import__(
+            "jimmy_ray.sources.wordproc", fromlist=["x"]
+        ).sql_docx_extract(),
+        "odt_extract": __import__(
+            "jimmy_ray.sources.wordproc", fromlist=["x"]
+        ).sql_odt_extract(),
+        "rtf_extract": __import__(
+            "jimmy_ray.sources.wordproc", fromlist=["x"]
+        ).sql_rtf_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

@@ -134,6 +134,9 @@ EXTENSION_FORMATS = {
     ".pdf": "pdf",
     ".t2t": "t2t",
     ".tid": "tiddlywiki",
+    ".docx": "docx",
+    ".odt": "odt",
+    ".rtf": "rtf",
 }
 
 
@@ -182,6 +185,17 @@ class FormatDispatchStage:
             "lexical": _txt(__import__(
                 "jimmy_ray.md.lexical", fromlist=["x"]
             ).super_to_markdown),
+            # round-4 word-processor readers (pandoc-gap formats served
+            # natively; sources/wordproc.py)
+            "docx": lambda b: __import__(
+                "jimmy_ray.sources.wordproc", fromlist=["x"]
+            ).docx_to_markdown(b),
+            "odt": lambda b: __import__(
+                "jimmy_ray.sources.wordproc", fromlist=["x"]
+            ).odt_to_markdown(b),
+            "rtf": lambda b: __import__(
+                "jimmy_ray.sources.wordproc", fromlist=["x"]
+            ).rtf_to_markdown(b),
         }
         if parsers:
             self.parsers.update(parsers)

@@ -1,0 +1,91 @@
+"""DOCX/ODT/RTF → Markdown readers (the pandoc-gap formats,
+convert.py:117-163 served natively from the public specs)."""
+
+import pytest
+
+from jimmy_ray.sources import wordproc as wp
+
+TEXT = "sample body words"
+
+
+@pytest.mark.parametrize("synth,parse", [
+    (wp.synth_docx, wp.docx_to_markdown),
+    (wp.synth_odt, wp.odt_to_markdown),
+])
+def test_zip_formats_render_golden(synth, parse):
+    assert parse(synth(5, TEXT)) == wp.golden_markdown(5, TEXT)
+    # deterministic fixtures
+    assert synth(5, TEXT) == synth(5, TEXT)
+
+
+def test_rtf_renders_golden():
+    got = wp.rtf_to_markdown(wp.synth_rtf(5, TEXT))
+    want = wp.RTF_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    assert got == want
+
+
+def test_docx_structure_details():
+    md = wp.docx_to_markdown(wp.synth_docx(3, "x & <y>"))
+    assert md.startswith("# Doc 3")               # heading style
+    assert "intro x & <y> with" in md             # XML escapes round-trip
+    assert "  - nested" in md                     # ilvl nesting
+    assert "[site 3](https://example.com/d/3)" in md   # rels resolution
+    assert "| id | 3 |" in md                     # table
+
+
+def test_odt_whitespace_elements():
+    # text:s (run of spaces) and text:line-break inside a paragraph
+    import io
+    import zipfile
+
+    payload = wp.synth_odt(1, "t")
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        content = zf.read("content.xml").decode()
+    content = content.replace(
+        "<text:p>item A</text:p>",
+        '<text:p>a<text:s text:c="3"/>b<text:line-break/>c</text:p>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", content)
+    assert "- a   b\nc" in wp.odt_to_markdown(buf.getvalue())
+
+
+def test_rtf_escapes_and_destinations():
+    raw = (rb"{\rtf1\ansi{\fonttbl{\f0 Arial;}}{\info{\title skip me}}"
+           rb"caf\'e9 \u8212? dash \{lit\} \\back\par second}"
+           )
+    md = wp.rtf_to_markdown(raw)
+    assert "skip me" not in md and "Arial" not in md
+    assert "caf\u00e9" in md and "\u2014 dash" in md
+    assert "{lit}" in md and "\\back" in md
+    assert md.endswith("second")
+
+
+def test_rtf_toggles():
+    raw = rb"{\rtf1 plain \b on\b0 off \i it\i0{\b\i bi}\par}"
+    md = wp.rtf_to_markdown(raw)
+    assert "**on**" in md and "*it*" in md and "***bi***" in md
+    assert "off" in md and "**off**" not in md
+
+
+def test_dispatch_routes_wordproc_formats():
+    import pyarrow as pa
+
+    from jimmy_ray.sources.readers import FormatDispatchStage, detect_format
+
+    assert detect_format("report.docx") == "docx"
+    assert detect_format("notes.ODT".lower()) == "odt"
+    assert detect_format("x.rtf") == "rtf"
+    stage = FormatDispatchStage()
+    batch = pa.table({
+        "format": pa.array(["docx", "odt", "rtf"]),
+        "payload": pa.array([wp.synth_docx(1, "a"), wp.synth_odt(2, "b"),
+                             wp.synth_rtf(3, "c")], pa.binary()),
+    })
+    out = stage(batch).to_pydict()
+    assert out["error"] == [None, None, None]
+    assert out["text"][0] == wp.golden_markdown(1, "a")
+    assert out["text"][1] == wp.golden_markdown(2, "b")
+    assert "site 3" in out["text"][2]
