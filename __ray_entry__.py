@@ -404,6 +404,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rtf_extract": lambda sf: __import__(
             "jimmy_ray.sources.wordproc", fromlist=["x"]
         ).rtf_extract(sf),
+        "asciidoc_extract": lambda sf: __import__(
+            "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+        ).asciidoc_extract(sf),
+        "mediawiki_extract": lambda sf: __import__(
+            "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+        ).mediawiki_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -804,6 +810,12 @@ def oracle_sql() -> dict[str, str]:
         "rtf_extract": __import__(
             "jimmy_ray.sources.wordproc", fromlist=["x"]
         ).sql_rtf_extract(),
+        "asciidoc_extract": __import__(
+            "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+        ).sql_asciidoc_extract(),
+        "mediawiki_extract": __import__(
+            "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+        ).sql_mediawiki_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

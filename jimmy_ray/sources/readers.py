@@ -137,6 +137,8 @@ EXTENSION_FORMATS = {
     ".docx": "docx",
     ".odt": "odt",
     ".rtf": "rtf",
+    ".adoc": "asciidoc", ".asciidoc": "asciidoc",
+    ".fountain": "fountain",
 }
 
 
@@ -196,6 +198,15 @@ class FormatDispatchStage:
             "rtf": lambda b: __import__(
                 "jimmy_ray.sources.wordproc", fromlist=["x"]
             ).rtf_to_markdown(b),
+            "asciidoc": _txt(__import__(
+                "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+            ).asciidoc_to_md),
+            "mediawiki": _txt(__import__(
+                "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+            ).mediawiki_to_md),
+            "fountain": _txt(__import__(
+                "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+            ).fountain_to_md),
         }
         if parsers:
             self.parsers.update(parsers)

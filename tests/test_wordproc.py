@@ -89,3 +89,55 @@ def test_dispatch_routes_wordproc_formats():
     assert out["text"][0] == wp.golden_markdown(1, "a")
     assert out["text"][1] == wp.golden_markdown(2, "b")
     assert "site 3" in out["text"][2]
+
+
+# --- light markup (asciidoc / mediawiki / fountain) -------------------------
+
+from jimmy_ray.sources import lightmarkup as lm
+
+
+def test_asciidoc_golden_and_details():
+    got = lm.asciidoc_to_md(lm.synth_asciidoc(5, TEXT))
+    assert got == lm.ADOC_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    # constrained pairs don't fire inside words; link macro forms
+    assert lm.asciidoc_to_md("a*b*c and 2_3_4") == "a*b*c and 2_3_4"
+    assert lm.asciidoc_to_md("link:https://x.test/a[lbl]") == \
+        "[lbl](https://x.test/a)"
+    assert lm.asciidoc_to_md("https://x.test/a[]") == \
+        "[https://x.test/a](https://x.test/a)"
+
+
+def test_mediawiki_golden_and_details():
+    title, md = lm.parse_mediawiki_dump(lm.synth_mediawiki_dump(5, TEXT))[0]
+    assert title == "Doc 5"
+    assert md == lm.MW_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    assert lm.mediawiki_to_md("[[Only Page]]") == "[Only Page](Only Page)"
+    assert lm.mediawiki_to_md("== h ==") == "## h"
+    assert lm.mediawiki_to_md("#### not a heading") == "      1. not a heading"
+
+
+def test_fountain_wrap_matches_reference():
+    # converter.py:270-274 byte shape
+    assert lm.fountain_to_md("INT. DAY") == "```fountain\nINT. DAY\n```\n"
+
+
+def test_dispatch_routes_light_markup():
+    import pyarrow as pa
+
+    from jimmy_ray.sources.readers import FormatDispatchStage, detect_format
+
+    assert detect_format("a.adoc") == "asciidoc"
+    assert detect_format("b.fountain") == "fountain"
+    stage = FormatDispatchStage()
+    batch = pa.table({
+        "format": pa.array(["asciidoc", "mediawiki", "fountain"]),
+        "payload": pa.array([b"= T\n* li", b"'''b''' ''i''",
+                             b"INT. DAY"], pa.binary()),
+    })
+    out = stage(batch).to_pydict()
+    assert out["error"] == [None] * 3
+    assert out["text"][0] == "# T\n- li"
+    assert out["text"][1] == "**b** *i*"
+    assert out["text"][2].startswith("```fountain")
