@@ -410,6 +410,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mediawiki_extract": lambda sf: __import__(
             "jimmy_ray.sources.lightmarkup", fromlist=["x"]
         ).mediawiki_extract(sf),
+        "epub_extract": lambda sf: __import__(
+            "jimmy_ray.sources.epub", fromlist=["x"]
+        ).epub_extract(sf),
+        "opml_extract": lambda sf: __import__(
+            "jimmy_ray.sources.epub", fromlist=["x"]
+        ).opml_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -816,6 +822,12 @@ def oracle_sql() -> dict[str, str]:
         "mediawiki_extract": __import__(
             "jimmy_ray.sources.lightmarkup", fromlist=["x"]
         ).sql_mediawiki_extract(),
+        "epub_extract": __import__(
+            "jimmy_ray.sources.epub", fromlist=["x"]
+        ).sql_epub_extract(),
+        "opml_extract": __import__(
+            "jimmy_ray.sources.epub", fromlist=["x"]
+        ).sql_opml_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

@@ -139,6 +139,8 @@ EXTENSION_FORMATS = {
     ".rtf": "rtf",
     ".adoc": "asciidoc", ".asciidoc": "asciidoc",
     ".fountain": "fountain",
+    ".epub": "epub",
+    ".opml": "opml",
 }
 
 
@@ -207,6 +209,12 @@ class FormatDispatchStage:
             "fountain": _txt(__import__(
                 "jimmy_ray.sources.lightmarkup", fromlist=["x"]
             ).fountain_to_md),
+            "epub": lambda b: __import__(
+                "jimmy_ray.sources.epub", fromlist=["x"]
+            ).epub_to_markdown(b),
+            "opml": lambda b: __import__(
+                "jimmy_ray.sources.epub", fromlist=["x"]
+            ).opml_to_markdown(b),
         }
         if parsers:
             self.parsers.update(parsers)

@@ -141,3 +141,49 @@ def test_dispatch_routes_light_markup():
     assert out["text"][0] == "# T\n- li"
     assert out["text"][1] == "**b** *i*"
     assert out["text"][2].startswith("```fountain")
+
+
+# --- epub / opml ------------------------------------------------------------
+
+from jimmy_ray.sources import epub as ep
+
+
+def test_epub_spine_order_and_golden():
+    got = ep.epub_to_markdown(ep.synth_epub(5, TEXT))
+    assert got == ep.EPUB_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    # spine order governs, not zip member order: swap itemrefs
+    import io
+    import zipfile
+    with zipfile.ZipFile(io.BytesIO(ep.synth_epub(1, "t"))) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    members["OEBPS/content.opf"] = members["OEBPS/content.opf"].replace(
+        b'<itemref idref="c1"/><itemref idref="c2"/>',
+        b'<itemref idref="c2"/><itemref idref="c1"/>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for n, d in members.items():
+            zf.writestr(n, d)
+    got = ep.epub_to_markdown(buf.getvalue())
+    assert got.startswith("# Chapter Two")
+
+
+def test_opml_nesting_and_golden():
+    got = ep.opml_to_markdown(ep.synth_opml(5, TEXT))
+    assert got == ep.OPML_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    deep = (b'<opml version="2.0"><body><outline text="a">'
+            b'<outline text="b"><outline text="c"/></outline></outline>'
+            b"</body></opml>")
+    assert ep.opml_to_markdown(deep) == "- a\n  - b\n    - c"
+
+
+def test_dispatch_routes_epub_opml():
+    from jimmy_ray.sources.readers import FormatDispatchStage, detect_format
+
+    assert detect_format("book.epub") == "epub"
+    assert detect_format("feed.opml") == "opml"
+    stage = FormatDispatchStage()
+    assert stage.parsers["epub"](ep.synth_epub(2, "x")).startswith(
+        "# Chapter One")
+    assert stage.parsers["opml"](ep.synth_opml(2, "x")).startswith("# Doc 2")
