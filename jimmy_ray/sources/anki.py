@@ -9,7 +9,10 @@ renders ``- name: value`` lines with an HTML-remnant cleanup
 Ray-shaped like the S7 pattern: the driver reads the (unshardable)
 sqlite file into Arrow once; the per-note conversion — field split,
 template naming, cleanup, tag split, deck join — runs distributed.  The
-fixture database derives from ``documents`` with a DuckDB SQL mirror.
+fixture derives from ``documents`` with a DuckDB SQL mirror and, since
+round 4, ships as a real ``.apkg`` zip (collection.anki2 + ``media``
+map) that the reader unpacks first, preferring ``collection.anki21``
+like the reference (anki.py:108-112).
 """
 
 from __future__ import annotations
@@ -73,11 +76,49 @@ def _cleanup(body: str) -> str:
     )
 
 
+def _fixture_apkg(sf_dir: str) -> str:
+    """Wrap the fixture collection in the real .apkg layout: a zip with
+    collection.anki2 and the media-number map (anki.py:108-122's input
+    shape)."""
+    import zipfile
+
+    from jimmy_ray.sources.fixturecache import cache_path
+
+    apkg = cache_path(sf_dir, "jimmy_ray_anki", ".apkg")
+    if os.path.exists(apkg):
+        return apkg
+    db = _fixture_db(sf_dir)
+    tmp = apkg + f".tmp.{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        zf.write(db, "collection.anki2")
+        zf.writestr("media", json.dumps({}))
+    os.replace(tmp, apkg)
+    return apkg
+
+
+def open_apkg_collection(apkg_path: str) -> str:
+    """Extract the collection database from a .apkg zip to a scratch
+    path, preferring collection.anki21 (anki.py:108-112)."""
+    import tempfile
+    import zipfile
+
+    with zipfile.ZipFile(apkg_path) as zf:
+        names = zf.namelist()
+        for candidate in ("collection.anki21", "collection.anki2"):
+            if candidate in names:
+                fd, out = tempfile.mkstemp(suffix=".anki2",
+                                           prefix="jimmy_ray_apkg_")
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(zf.read(candidate))
+                return out
+    raise ValueError("no collection database inside .apkg")
+
+
 def anki_extract(sf_dir: str):
-    """collection db -> distributed per-note conversion."""
+    """.apkg container -> collection db -> distributed conversion."""
     import ray.data as rd
 
-    db = _fixture_db(sf_dir)
+    db = open_apkg_collection(_fixture_apkg(sf_dir))
     con = sqlite3.connect(db)
     try:
         ver, models_json, decks_json = con.execute(
@@ -93,6 +134,7 @@ def anki_extract(sf_dir: str):
         ).fetchall()
     finally:
         con.close()
+        os.unlink(db)  # the scratch copy extracted from the .apkg
 
     table = pa.table({
         "note_index": pa.array(range(len(rows)), pa.int64()),

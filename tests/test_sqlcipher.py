@@ -70,3 +70,29 @@ def test_signal_store_end_to_end():
         12, "hello from the store"))
     with pytest.raises(ValueError, match="HMAC"):
         sig.parse_signal_store(payload, password="wrong")
+
+
+def test_apkg_container_layer(tmp_path):
+    """Anki .apkg: zip wrap + collection extraction preferring anki21
+    (reference anki.py:108-112)."""
+    import json
+    import os
+    import zipfile
+
+    from jimmy_ray.sources import anki
+
+    p = tmp_path / "x.apkg"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("collection.anki2", b"old")
+        zf.writestr("collection.anki21", b"new")
+        zf.writestr("media", json.dumps({}))
+    out = anki.open_apkg_collection(str(p))
+    try:
+        assert open(out, "rb").read() == b"new"
+    finally:
+        os.unlink(out)
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("media", json.dumps({}))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no collection"):
+        anki.open_apkg_collection(str(p))
