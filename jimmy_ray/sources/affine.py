@@ -1,9 +1,14 @@
-"""AFFiNE block-document reader (post-pycrdt decoded shape).
+"""AFFiNE block-document reader over a real Yjs workspace store.
 
 Behavior port of /root/reference/src/jimmy/formats/affine.py:13-199.
-The reference applies the yjs CRDT update with ``pycrdt`` — that binary
-decode is the env-blocked boundary (no pycrdt here).  The whole block
-renderer downstream operates on the decoded block map and is ported:
+The reference applies the yjs CRDT updates with ``pycrdt``; since
+round 4 that decode is REAL here — ``jimmy_ray.scalars.yjs`` implements
+the published Yjs v1 update format (lib0 varints, item info bits,
+ContentAny/String/Type, single-writer snapshot integration), and the
+fixture ships the real container layout: a SQLite ``snapshots`` table
+holding one update per doc (workspace meta + per-page block docs,
+affine.py:202-245's input shape).  The block renderer downstream is
+the same ported logic:
 
 - root = the ``affine:page`` block; recursion over ``sys:children``
 - paragraphs (``text`` / ``h1``-``h6``), lists (bulleted / numbered /
@@ -195,6 +200,81 @@ def parse_affine(raw: str) -> list[dict]:
     return rows
 
 
+# --- real workspace container (Yjs updates in a snapshots db) --------------
+
+def synth_affine_store(doc_id: int, text: str) -> bytes:
+    """The real .affine layout (affine.py:202-245's input): a SQLite
+    ``snapshots(doc_id, data)`` table whose rows are Yjs v1 updates —
+    one workspace meta doc (root ``meta`` map: name, pages, tag table)
+    and one block doc per page (root ``blocks`` map), encoded by the
+    pure-python codec in jimmy_ray.scalars.yjs."""
+    import json as _json
+
+    from jimmy_ray.scalars import sqlcipher, yjs
+
+    data = _json.loads(synth_affine(doc_id, text))
+
+    def enrich(block: dict) -> dict:
+        return {k: yjs.YText(v) if k in ("prop:text", "prop:title")
+                and isinstance(v, str) else v for k, v in block.items()}
+
+    meta_doc = yjs.encode_doc({"meta": {
+        "name": f"workspace-{doc_id}",
+        "pages": data["pages"],
+        "tags": data["tags"],
+    }})
+    rows = [["meta", meta_doc]]
+    for page_id, blocks in data["blocks"].items():
+        rows.append([page_id, yjs.encode_doc(
+            {"blocks": {bid: enrich(b) for bid, b in blocks.items()}})])
+    return sqlcipher.build_minidb("snapshots",
+                                  ["doc_id TEXT", "data BLOB"], rows)
+
+
+def parse_affine_store(payload: bytes) -> list[dict]:
+    """Open the snapshots db, apply each Yjs update, find the workspace
+    meta (the doc exposing a ``meta`` root, affine.py:219-227), then
+    render each page's block doc — the pycrdt step served natively."""
+    import sqlite3
+
+    from jimmy_ray.scalars import yjs
+
+    con = sqlite3.connect(":memory:")
+    try:
+        con.deserialize(payload)
+        snapshots = con.execute(
+            "SELECT doc_id, data FROM snapshots ORDER BY rowid").fetchall()
+    finally:
+        con.close()
+    docs = {doc_id: yjs.decode_doc(raw) for doc_id, raw in snapshots}
+    meta = next((d["meta"] for d in docs.values() if "meta" in d), None)
+    if meta is None:
+        raise ValueError("no workspace meta found in AFFiNE store")
+    all_tags = meta.get("tags", {})
+    rows = []
+    for page in meta.get("pages", []):
+        page_id = page.get("id")
+        blocks = docs.get(page_id, {}).get("blocks")
+        if blocks is None:
+            continue
+        root = next((bid for bid, b in blocks.items()
+                     if b.get("sys:flavour") == "affine:page"), None)
+        if root is None:
+            continue
+        lines, note_links = extract_blocks(blocks, root)
+        rows.append({
+            "page_id": page_id,
+            "title": page.get("title", page_id),
+            "body": "\n\n".join(lines),
+            "tags": ",".join(all_tags[t] for t in page.get("tags", [])
+                             if t in all_tags),
+            "note_links": ",".join(note_links),
+            "created_ms": page.get("createDate"),
+            "updated_ms": page.get("updatedAt"),
+        })
+    return rows
+
+
 def affine_extract(sf_dir: str):
     import ray.data as rd
 
@@ -207,7 +287,7 @@ def affine_extract(sf_dir: str):
             "created_ms", "updated_ms")}
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
-            for row in parse_affine(synth_affine(doc_id, text)):
+            for row in parse_affine_store(synth_affine_store(doc_id, text)):
                 cols["doc_id"].append(doc_id)
                 for k, v in row.items():
                     cols[k].append(v)
