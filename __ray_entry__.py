@@ -416,6 +416,15 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "opml_extract": lambda sf: __import__(
             "jimmy_ray.sources.epub", fromlist=["x"]
         ).opml_extract(sf),
+        "org_extract": lambda sf: __import__(
+            "jimmy_ray.sources.texmarkup", fromlist=["x"]
+        ).org_extract(sf),
+        "rst_extract": lambda sf: __import__(
+            "jimmy_ray.sources.texmarkup", fromlist=["x"]
+        ).rst_extract(sf),
+        "latex_extract": lambda sf: __import__(
+            "jimmy_ray.sources.texmarkup", fromlist=["x"]
+        ).latex_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -828,6 +837,15 @@ def oracle_sql() -> dict[str, str]:
         "opml_extract": __import__(
             "jimmy_ray.sources.epub", fromlist=["x"]
         ).sql_opml_extract(),
+        "org_extract": __import__(
+            "jimmy_ray.sources.texmarkup", fromlist=["x"]
+        ).sql_org_extract(),
+        "rst_extract": __import__(
+            "jimmy_ray.sources.texmarkup", fromlist=["x"]
+        ).sql_rst_extract(),
+        "latex_extract": __import__(
+            "jimmy_ray.sources.texmarkup", fromlist=["x"]
+        ).sql_latex_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

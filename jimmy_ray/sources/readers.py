@@ -141,6 +141,9 @@ EXTENSION_FORMATS = {
     ".fountain": "fountain",
     ".epub": "epub",
     ".opml": "opml",
+    ".org": "org",
+    ".rst": "rst", ".rest": "rst",
+    ".tex": "latex",
 }
 
 
@@ -215,6 +218,15 @@ class FormatDispatchStage:
             "opml": lambda b: __import__(
                 "jimmy_ray.sources.epub", fromlist=["x"]
             ).opml_to_markdown(b),
+            "org": _txt(__import__(
+                "jimmy_ray.sources.texmarkup", fromlist=["x"]
+            ).org_to_md),
+            "rst": _txt(__import__(
+                "jimmy_ray.sources.texmarkup", fromlist=["x"]
+            ).rst_to_md),
+            "latex": _txt(__import__(
+                "jimmy_ray.sources.texmarkup", fromlist=["x"]
+            ).latex_to_md),
         }
         if parsers:
             self.parsers.update(parsers)

@@ -187,3 +187,50 @@ def test_dispatch_routes_epub_opml():
     assert stage.parsers["epub"](ep.synth_epub(2, "x")).startswith(
         "# Chapter One")
     assert stage.parsers["opml"](ep.synth_opml(2, "x")).startswith("# Doc 2")
+
+
+# --- org / rst / latex ------------------------------------------------------
+
+from jimmy_ray.sources import texmarkup as tm
+
+
+def test_org_golden_and_details():
+    got = tm.org_to_md(tm.synth_org(5, TEXT))
+    assert got == tm.ORG_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    assert tm.org_to_md("[[https://x.test]]") == \
+        "[https://x.test](https://x.test)"
+    assert tm.org_to_md("a/b/c *x*y") == "a/b/c *x*y"  # constrained pairs
+    assert tm.org_to_md("#+OPTIONS: toc:nil") == ""    # settings dropped
+
+
+def test_rst_adornment_levels_and_details():
+    got = tm.rst_to_md(tm.synth_rst(5, TEXT))
+    assert got == tm.RST_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    # adornment order defines levels, not the character identity
+    src = "T\n~\n\nS\n=\n"
+    assert tm.rst_to_md(src) == "# T\n\n## S"
+    # underline shorter than the title is not a section
+    assert tm.rst_to_md("Long Title\n==\n") == "Long Title\n=="
+
+
+def test_latex_golden_and_details():
+    got = tm.latex_to_md(tm.synth_latex(5, TEXT))
+    assert got == tm.TEX_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    assert tm.latex_to_md(r"50\% and \_x\_ and A \& B") == \
+        "50% and _x_ and A & B"
+    assert tm.latex_to_md("keep 100% \\% sign") == "keep 100"  # % comments
+
+
+def test_dispatch_routes_texmarkup():
+    from jimmy_ray.sources.readers import FormatDispatchStage, detect_format
+
+    assert detect_format("notes.org") == "org"
+    assert detect_format("doc.rest") == "rst"
+    assert detect_format("paper.tex") == "latex"
+    stage = FormatDispatchStage()
+    assert stage.parsers["org"](b"* H\n- li") == "# H\n- li"
+    assert stage.parsers["rst"](b"T\n=\n") == "# T"
+    assert stage.parsers["latex"](rb"\section{S}") == "# S"
