@@ -324,17 +324,19 @@ def decode_doc(payload: bytes) -> dict:
     buf = io.BytesIO(payload)
     roots: dict[str, _Node] = {}
     nodes: dict[tuple[int, int], _Node] = {}     # type item id → node
-    # per client: sorted (start_clock, length, container) ranges — an
-    # origin may point at ANY clock unit inside a multi-unit item
-    owner_ranges: dict[int, list[tuple[int, int, _Node]]] = {}
+    # per client: sorted (start_clock, length, container, parent_sub)
+    # ranges — an origin may point at ANY clock unit inside a
+    # multi-unit item
+    owner_ranges: dict[int, list[tuple[int, int, _Node, str | None]]] = {}
 
-    def owner_of(ref: tuple[int, int]) -> _Node:
+    def owner_of(ref: tuple[int, int]) -> tuple[_Node, str | None]:
         ranges = owner_ranges.get(ref[0], [])
-        idx = bisect.bisect_right(ranges, (ref[1], float("inf"), None)) - 1
+        idx = bisect.bisect_right(
+            ranges, (ref[1], float("inf"), None, None)) - 1
         if idx < 0 or not ranges[idx][0] <= ref[1] < (ranges[idx][0]
                                                      + ranges[idx][1]):
             raise ValueError(f"origin {ref} references a missing item")
-        return ranges[idx][2]
+        return ranges[idx][2], ranges[idx][3]
 
     n_clients = read_var_uint(buf)
     for _ in range(n_clients):
@@ -353,6 +355,10 @@ def decode_doc(payload: bytes) -> dict:
                 origin = (read_var_uint(buf), read_var_uint(buf))
             if info & _BIT_RIGHT:
                 right = (read_var_uint(buf), read_var_uint(buf))
+            # Yjs writes the parent (and the parentSub STRING) only when
+            # both origins are absent; an overwrite item carries the
+            # 0x20 info bit but NO string — its key is inherited from
+            # the origin item at integration time.
             if origin is None and right is None:
                 if read_var_uint(buf) == 1:
                     parent = ("root", read_var_string(buf))
@@ -361,8 +367,6 @@ def decode_doc(payload: bytes) -> dict:
                                      read_var_uint(buf)))
                 if info & _BIT_SUB:
                     parent_sub = read_var_string(buf)
-            elif info & _BIT_SUB:
-                parent_sub = read_var_string(buf)
 
             if ref == _REF_STRING:
                 value = read_var_string(buf)
@@ -398,12 +402,14 @@ def decode_doc(payload: bytes) -> dict:
                 else:
                     container = nodes[parent[1]]
             elif origin is not None:
-                container = owner_of(origin)
+                container, inherited_sub = owner_of(origin)
+                if parent_sub is None and (info & _BIT_SUB):
+                    parent_sub = inherited_sub  # map-key overwrite item
             else:
                 raise ValueError("item with rightOrigin only — "
                                  "concurrent edits out of subset")
             owner_ranges.setdefault(client, []).append(
-                (clock, length, container))
+                (clock, length, container, parent_sub))
             if isinstance(value, _Node):
                 nodes[item_id] = value
             if value is not None:

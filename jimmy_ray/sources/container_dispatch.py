@@ -148,11 +148,9 @@ def _tar_bytes(members: list[tuple[str, bytes]]) -> bytes:
 
 
 def _zip_bytes(members: list[tuple[str, bytes]]) -> bytes:
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as zf:
-        for name, data in members:
-            zf.writestr(name, data)
-    return buf.getvalue()
+    from jimmy_ray.sources.fixturetpl import zip_bytes
+
+    return zip_bytes(members)
 
 
 def synth_container(doc_id: int, text: str) -> bytes:

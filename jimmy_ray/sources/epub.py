@@ -101,16 +101,17 @@ def synth_epub(doc_id: int, text: str) -> bytes:
         '</manifest><spine><itemref idref="c1"/><itemref idref="c2"/>'
         "</spine></package>"
     )
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as zf:
-        zf.writestr("mimetype", "application/epub+zip")
-        zf.writestr("META-INF/container.xml", container)
-        zf.writestr("OEBPS/content.opf", opf)
-        zf.writestr("OEBPS/ch1.xhtml", ch.format(
-            body=f"<h1>Chapter One</h1><p>intro {t}</p>"))
-        zf.writestr("OEBPS/ch2.xhtml", ch.format(
-            body=f"<h1>Chapter Two</h1><p>closing words {i}</p>"))
-    return buf.getvalue()
+    from jimmy_ray.sources.fixturetpl import zip_bytes
+
+    return zip_bytes([
+        ("mimetype", "application/epub+zip"),
+        ("META-INF/container.xml", container),
+        ("OEBPS/content.opf", opf),
+        ("OEBPS/ch1.xhtml",
+         ch.format(body=f"<h1>Chapter One</h1><p>intro {t}</p>")),
+        ("OEBPS/ch2.xhtml",
+         ch.format(body=f"<h1>Chapter Two</h1><p>closing words {i}</p>")),
+    ])
 
 
 OPML_GOLDEN_TEMPLATE = (
@@ -135,42 +136,15 @@ def synth_opml(doc_id: int, text: str) -> bytes:
 
 # --- pipeline surface -------------------------------------------------------
 
-def _extract_query(synth_fn, parse_fn, batch_size=256):
-    def query(sf_dir: str):
-        import ray.data as rd
+from jimmy_ray.sources.fixturetpl import extract_query, sql_golden_query
 
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-        def fn(batch: pa.Table) -> pa.Table:
-            texts = [parse_fn(synth_fn(d, t))
-                     for d, t in zip(batch["doc_id"].to_pylist(),
-                                     batch["text"].to_pylist())]
-            return pa.table({"doc_id": batch["doc_id"],
-                             "text": pa.array(texts, pa.string())})
-
-        return docs.map_batches(fn, batch_format="pyarrow",
-                                batch_size=batch_size)
-
-    return query
-
-
-epub_extract = _extract_query(synth_epub, epub_to_markdown)
-opml_extract = _extract_query(synth_opml, opml_to_markdown, batch_size=512)
-
-
-def _sql_golden(template: str) -> str:
-    return ("'" + template.replace("'", "''")
-            .replace("{id}", "' || CAST(doc_id AS VARCHAR) || '")
-            .replace("{text}", "' || text || '")
-            .replace("\n", "' || chr(10) || '") + "'")
+epub_extract = extract_query(synth_epub, epub_to_markdown)
+opml_extract = extract_query(synth_opml, opml_to_markdown, batch_size=512)
 
 
 def sql_epub_extract() -> str:
-    return (f"SELECT doc_id, {_sql_golden(EPUB_GOLDEN_TEMPLATE)} AS text "
-            "FROM documents")
+    return sql_golden_query(EPUB_GOLDEN_TEMPLATE)
 
 
 def sql_opml_extract() -> str:
-    return (f"SELECT doc_id, {_sql_golden(OPML_GOLDEN_TEMPLATE)} AS text "
-            "FROM documents")
+    return sql_golden_query(OPML_GOLDEN_TEMPLATE)

@@ -248,18 +248,14 @@ def mediawiki_extract(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
-def _sql_golden(template: str) -> str:
-    return ("'" + template.replace("'", "''")
-            .replace("{id}", "' || CAST(doc_id AS VARCHAR) || '")
-            .replace("{text}", "' || text || '")
-            .replace("\n", "' || chr(10) || '") + "'")
-
-
 def sql_asciidoc_extract() -> str:
-    return (f"SELECT doc_id, {_sql_golden(ADOC_GOLDEN_TEMPLATE)} AS text "
-            "FROM documents")
+    from jimmy_ray.sources.fixturetpl import sql_golden_query
+
+    return sql_golden_query(ADOC_GOLDEN_TEMPLATE)
 
 
 def sql_mediawiki_extract() -> str:
+    from jimmy_ray.sources.fixturetpl import sql_golden
+
     return ("SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
-            f"{_sql_golden(MW_GOLDEN_TEMPLATE)} AS text FROM documents")
+            f"{sql_golden(MW_GOLDEN_TEMPLATE)} AS text FROM documents")

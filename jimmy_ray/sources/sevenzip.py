@@ -417,12 +417,14 @@ def _parse_streams_info(buf: io.BytesIO) -> dict:
                 folders.append({"coders": coders, "bind_pairs": bind_pairs,
                                 "sizes": sizes})
             info["folders"] = folders
+            info["folder_crc_defined"] = [False] * n_folders
             while True:
                 sub = buf.read(1)[0]
                 if sub == K_END:
                     break
                 if sub == K_CRC:
-                    _skip_digests(buf, n_folders)
+                    info["folder_crc_defined"] = _read_digests(
+                        buf, n_folders)
                 else:
                     raise ValueError(f"unexpected UnpackInfo property {sub}")
         elif kind == K_SUBSTREAMS:
@@ -444,7 +446,15 @@ def _parse_streams_info(buf: io.BytesIO) -> dict:
                         head = [read_number(buf) for _ in range(c - 1)]
                         sizes.append(head + [total - sum(head)])
                 elif sub == K_CRC:
-                    _skip_digests(buf, sum(counts))
+                    # digests stored only for streams whose CRC is not
+                    # already known: single-stream folders with a
+                    # defined folder CRC are excluded (7zFormat.txt)
+                    defined = info.get("folder_crc_defined",
+                                       [False] * n_folders)
+                    unknown = sum(
+                        c for fi, c in enumerate(counts)
+                        if not (c == 1 and defined[fi]))
+                    _skip_digests(buf, unknown)
                 else:
                     raise ValueError(
                         f"unexpected SubStreamsInfo property {sub}")
@@ -465,13 +475,20 @@ def _folder_unpack_size(folder: dict) -> int:
     return folder["sizes"][final_out]
 
 
-def _skip_digests(buf: io.BytesIO, n: int) -> None:
+def _read_digests(buf: io.BytesIO, n: int) -> list[bool]:
+    """Consume a digests block; return the per-stream defined flags."""
     all_defined = buf.read(1)[0]
-    defined = n
-    if not all_defined:
+    if all_defined:
+        flags = [True] * n
+    else:
         bits = buf.read((n + 7) // 8)
-        defined = sum(bin(b).count("1") for b in bits)
-    buf.read(4 * defined)
+        flags = [bool(bits[i // 8] & (0x80 >> (i % 8))) for i in range(n)]
+    buf.read(4 * sum(flags))
+    return flags
+
+
+def _skip_digests(buf: io.BytesIO, n: int) -> None:
+    _read_digests(buf, n)
 
 
 def _decode_streams(payload: bytes, base: int, info: dict,

@@ -1,4 +1,4 @@
-"""Org-mode, reStructuredText and LaTeX → Markdown (public grammars).
+r"""Org-mode, reStructuredText and LaTeX → Markdown (public grammars).
 
 Three more formats the reference's default converter hands to pandoc's
 last-resort branch (/root/reference/src/jimmy/converter.py:341-352 with
@@ -291,47 +291,20 @@ def synth_latex(doc_id: int, text: str) -> str:
 
 # --- pipeline surface -------------------------------------------------------
 
-def _extract_query(synth_fn, parse_fn):
-    def query(sf_dir: str):
-        import ray.data as rd
+from jimmy_ray.sources.fixturetpl import extract_query, sql_golden_query
 
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-        def fn(batch: pa.Table) -> pa.Table:
-            texts = [parse_fn(synth_fn(d, t))
-                     for d, t in zip(batch["doc_id"].to_pylist(),
-                                     batch["text"].to_pylist())]
-            return pa.table({"doc_id": batch["doc_id"],
-                             "text": pa.array(texts, pa.string())})
-
-        return docs.map_batches(fn, batch_format="pyarrow", batch_size=512)
-
-    return query
-
-
-org_extract = _extract_query(synth_org, org_to_md)
-rst_extract = _extract_query(synth_rst, rst_to_md)
-latex_extract = _extract_query(synth_latex, latex_to_md)
-
-
-def _sql_golden(template: str) -> str:
-    return ("'" + template.replace("'", "''")
-            .replace("{id}", "' || CAST(doc_id AS VARCHAR) || '")
-            .replace("{text}", "' || text || '")
-            .replace("\n", "' || chr(10) || '") + "'")
+org_extract = extract_query(synth_org, org_to_md, batch_size=512)
+rst_extract = extract_query(synth_rst, rst_to_md, batch_size=512)
+latex_extract = extract_query(synth_latex, latex_to_md, batch_size=512)
 
 
 def sql_org_extract() -> str:
-    return (f"SELECT doc_id, {_sql_golden(ORG_GOLDEN_TEMPLATE)} AS text "
-            "FROM documents")
+    return sql_golden_query(ORG_GOLDEN_TEMPLATE)
 
 
 def sql_rst_extract() -> str:
-    return (f"SELECT doc_id, {_sql_golden(RST_GOLDEN_TEMPLATE)} AS text "
-            "FROM documents")
+    return sql_golden_query(RST_GOLDEN_TEMPLATE)
 
 
 def sql_latex_extract() -> str:
-    return (f"SELECT doc_id, {_sql_golden(TEX_GOLDEN_TEMPLATE)} AS text "
-            "FROM documents")
+    return sql_golden_query(TEX_GOLDEN_TEMPLATE)

@@ -83,10 +83,22 @@ def _pipe_table(rows: list[list[str]]) -> str:
 
 # --- DOCX (ECMA-376) --------------------------------------------------------
 
+def _on(rpr: ET.Element | None, tag: str) -> bool:
+    """ECMA-376 ST_OnOff toggle: element present = on, unless
+    w:val says 0/false/off (the way Word cancels inherited styles)."""
+    if rpr is None:
+        return False
+    el = rpr.find(f"{{{_W}}}{tag}")
+    if el is None:
+        return False
+    return el.get(f"{{{_W}}}val", "1").lower() not in ("0", "false", "off",
+                                                       "none")
+
+
 def _docx_run_md(run: ET.Element) -> str:
     rpr = run.find(f"{{{_W}}}rPr")
-    bold = rpr is not None and rpr.find(f"{{{_W}}}b") is not None
-    italic = rpr is not None and rpr.find(f"{{{_W}}}i") is not None
+    bold = _on(rpr, "b")
+    italic = _on(rpr, "i")
     text = "".join(t.text or "" for t in run.findall(f"{{{_W}}}t"))
     text += "\n" * len(run.findall(f"{{{_W}}}br"))
     return _emphasis(text, bold, italic)
@@ -232,14 +244,15 @@ def synth_docx(doc_id: int, text: str) -> bytes:
         'officeDocument/2006/relationships/officeDocument" '
         'Target="word/document.xml"/></Relationships>'
     )
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as zf:
-        zf.writestr("[Content_Types].xml", content_types)
-        zf.writestr("_rels/.rels", pkg_rels)
-        zf.writestr("word/document.xml",
-                    '<?xml version="1.0" encoding="UTF-8"?>' + document)
-        zf.writestr("word/_rels/document.xml.rels", rels)
-    return buf.getvalue()
+    from jimmy_ray.sources.fixturetpl import zip_bytes
+
+    return zip_bytes([
+        ("[Content_Types].xml", content_types),
+        ("_rels/.rels", pkg_rels),
+        ("word/document.xml",
+         '<?xml version="1.0" encoding="UTF-8"?>' + document),
+        ("word/_rels/document.xml.rels", rels),
+    ])
 
 
 # --- ODT (OASIS OpenDocument) ----------------------------------------------
@@ -356,12 +369,12 @@ def synth_odt(doc_id: int, text: str) -> bytes:
         "</table:table-row></table:table>"
         "</office:text></office:body></office:document-content>"
     )
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as zf:
-        zf.writestr("mimetype",
-                    "application/vnd.oasis.opendocument.text")
-        zf.writestr("content.xml", content)
-    return buf.getvalue()
+    from jimmy_ray.sources.fixturetpl import zip_bytes
+
+    return zip_bytes([
+        ("mimetype", "application/vnd.oasis.opendocument.text"),
+        ("content.xml", content),
+    ])
 
 
 # --- RTF (public Microsoft spec) -------------------------------------------
@@ -369,7 +382,7 @@ def synth_odt(doc_id: int, text: str) -> bytes:
 _RTF_DESTINATIONS = {"fonttbl", "colortbl", "stylesheet", "info",
                      "generator", "pict", "themedata"}
 _RTF_TOKEN_RE = re.compile(
-    rb"\\([a-z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\([\\{}~-])|([{}])",
+    rb"\\([a-z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\([\\{}~*-])|([{}])",
     re.S)
 
 
@@ -427,7 +440,9 @@ def rtf_to_markdown(payload: bytes) -> str:
                 state[:] = stack.pop()
             continue
         if esc is not None:
-            if not state[2]:
+            if esc == b"*":  # \* marks the group an ignorable destination
+                state[2] = True
+            elif not state[2]:
                 run.append({b"\\": "\\", b"{": "{", b"}": "}",
                             b"~": "\u00a0", b"-": ""}[esc])
             continue
@@ -493,45 +508,20 @@ RTF_GOLDEN_TEMPLATE = (
 
 # --- pipeline surface -------------------------------------------------------
 
-def _extract_query(synth_fn, parse_fn):
-    def query(sf_dir: str):
-        import ray.data as rd
+from jimmy_ray.sources.fixturetpl import extract_query, sql_golden_query
 
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-        def fn(batch: pa.Table) -> pa.Table:
-            texts = [parse_fn(synth_fn(d, t))
-                     for d, t in zip(batch["doc_id"].to_pylist(),
-                                     batch["text"].to_pylist())]
-            return pa.table({"doc_id": batch["doc_id"],
-                             "text": pa.array(texts, pa.string())})
-
-        return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
-
-    return query
-
-
-docx_extract = _extract_query(synth_docx, docx_to_markdown)
-odt_extract = _extract_query(synth_odt, odt_to_markdown)
-rtf_extract = _extract_query(synth_rtf, rtf_to_markdown)
-
-
-def _sql_from_template(template: str) -> str:
-    golden = ("'" + template.replace("'", "''")
-              .replace("{id}", "' || CAST(doc_id AS VARCHAR) || '")
-              .replace("{text}", "' || text || '")
-              .replace("\n", "' || chr(10) || '") + "'")
-    return f"SELECT doc_id, {golden} AS text FROM documents"
+docx_extract = extract_query(synth_docx, docx_to_markdown)
+odt_extract = extract_query(synth_odt, odt_to_markdown)
+rtf_extract = extract_query(synth_rtf, rtf_to_markdown)
 
 
 def sql_docx_extract() -> str:
-    return _sql_from_template(GOLDEN_TEMPLATE)
+    return sql_golden_query(GOLDEN_TEMPLATE)
 
 
 def sql_odt_extract() -> str:
-    return _sql_from_template(GOLDEN_TEMPLATE)
+    return sql_golden_query(GOLDEN_TEMPLATE)
 
 
 def sql_rtf_extract() -> str:
-    return _sql_from_template(RTF_GOLDEN_TEMPLATE)
+    return sql_golden_query(RTF_GOLDEN_TEMPLATE)

@@ -139,3 +139,42 @@ def test_container_stage_wrong_password_is_error_row():
     })
     out = stage(batch).to_pydict()
     assert len(out["doc_id"]) == 1 and out["error"][0]
+
+
+def test_substream_crc_excludes_folders_with_defined_crc():
+    """7zFormat.txt: SubStreamsInfo kCRC stores digests ONLY for streams
+    whose CRC is not already defined by UnpackInfo folder CRCs (i.e.
+    single-stream folders with defined CRCs are excluded)."""
+    import io as _io
+
+    w = sz.write_number
+    folder_def = w(1) + bytes([0x01]) + sz.ID_COPY  # one Copy coder
+    header = bytearray()
+    header.append(sz.K_PACK_INFO)
+    header += w(0) + w(2)                       # pack_pos, 2 pack streams
+    header.append(sz.K_SIZE)
+    header += w(10) + w(20)
+    header.append(sz.K_END)
+    header.append(sz.K_UNPACK_INFO)
+    header.append(sz.K_FOLDER)
+    header += w(2) + b"\x00" + folder_def + folder_def
+    header.append(sz.K_UNPACK_SIZES)
+    header += w(10) + w(20)
+    header.append(sz.K_CRC)
+    header += b"\x01" + b"\xAA" * 8             # both folder CRCs defined
+    header.append(sz.K_END)
+    header.append(sz.K_SUBSTREAMS)
+    header.append(sz.K_NUM_UNPACK_STREAM)
+    header += w(1) + w(2)                       # folder2 holds 2 streams
+    header.append(sz.K_SIZE)
+    header += w(5)                              # folder2: first substream
+    header.append(sz.K_CRC)
+    header += b"\x01" + b"\xBB" * 8             # ONLY folder2's 2 streams
+    header.append(sz.K_END)
+    header.append(sz.K_END)
+    header.append(sz.K_END)                     # end of StreamsInfo
+
+    info = sz._parse_streams_info(_io.BytesIO(bytes(header)))
+    assert info["substreams"]["counts"] == [1, 2]
+    assert info["substreams"]["sizes"] == [[10], [5, 15]]
+    assert info["folder_crc_defined"] == [True, True]

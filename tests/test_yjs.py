@@ -93,3 +93,29 @@ def test_affine_store_end_to_end():
     n, = con.execute("SELECT count(*) FROM snapshots").fetchone()
     assert n == 2  # meta doc + one page doc
     con.close()
+
+
+def test_map_overwrite_item_inherits_parent_sub():
+    """Real Yjs map re-set: new item origin = old item, info bit 0x20
+    set, NO parentSub string in the stream (Item.write only emits the
+    string when both origins are absent)."""
+    out = bytearray()
+    yjs.write_var_uint(out, 1)      # one client
+    yjs.write_var_uint(out, 2)      # two structs
+    yjs.write_var_uint(out, yjs.CLIENT)
+    yjs.write_var_uint(out, 0)      # start clock
+    # struct 1: root map entry k=1 (parent by root name + parentSub)
+    out.append(8 | 0x20)            # ContentAny | parentSub bit
+    yjs.write_var_uint(out, 1)      # parent is root name
+    yjs.write_var_string(out, "m")
+    yjs.write_var_string(out, "k")  # parentSub string (no origins)
+    yjs.write_var_uint(out, 1)      # one Any value
+    yjs.write_any(out, 1)
+    # struct 2: overwrite k=2 (origin = struct 1, bit set, NO string)
+    out.append(8 | 0x80 | 0x20)     # ContentAny | origin | parentSub bit
+    yjs.write_var_uint(out, yjs.CLIENT)
+    yjs.write_var_uint(out, 0)      # origin id = (client, 0)
+    yjs.write_var_uint(out, 1)
+    yjs.write_any(out, 2)
+    yjs.write_var_uint(out, 0)      # empty delete set
+    assert yjs.decode_doc(bytes(out)) == {"m": {"k": 2}}
