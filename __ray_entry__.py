@@ -425,6 +425,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "latex_extract": lambda sf: __import__(
             "jimmy_ray.sources.texmarkup", fromlist=["x"]
         ).latex_extract(sf),
+        "dokuwiki_extract": lambda sf: __import__(
+            "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+        ).dokuwiki_extract(sf),
+        "textile_extract": lambda sf: __import__(
+            "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+        ).textile_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -846,6 +852,12 @@ def oracle_sql() -> dict[str, str]:
         "latex_extract": __import__(
             "jimmy_ray.sources.texmarkup", fromlist=["x"]
         ).sql_latex_extract(),
+        "dokuwiki_extract": __import__(
+            "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+        ).sql_dokuwiki_extract(),
+        "textile_extract": __import__(
+            "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+        ).sql_textile_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

@@ -259,3 +259,164 @@ def sql_mediawiki_extract() -> str:
 
     return ("SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
             f"{sql_golden(MW_GOLDEN_TEMPLATE)} AS text FROM documents")
+
+
+# --- DokuWiki ---------------------------------------------------------------
+
+_DOKU_HEAD_RE = re.compile(r"^(={2,6})\s*(.*?)\s*\1$")
+_DOKU_LIST_RE = re.compile(r"^((?:  )+)([*-])\s*(.*)$")
+_DOKU_ITALIC_RE = re.compile(r"//([^/\n]+)//")
+_DOKU_MONO_RE = re.compile(r"''([^'\n]+)''")
+_DOKU_LINK_RE = re.compile(r"\[\[([^\]|]+)(?:\|([^\]]*))?\]\]")
+
+
+def _doku_inline(line: str) -> str:
+    line = _DOKU_LINK_RE.sub(
+        lambda m: f"[{m.group(2) or m.group(1)}]({m.group(1)})", line)
+    line = _DOKU_ITALIC_RE.sub(r"*\1*", line)          # **bold** already md
+    line = _DOKU_MONO_RE.sub(r"`\1`", line)
+    return line
+
+
+def dokuwiki_to_md(text: str) -> str:
+    """DokuWiki (public syntax page): ``======``-wrapped headings count
+    DOWN (6 = h1 … 2 = h5), two-space list indents, ``//``/``''``
+    emphasis, ``<code>`` blocks → fences."""
+    out: list[str] = []
+    in_code = False
+    for line in text.splitlines():
+        stripped = line.strip()
+        if stripped == "<code>" or stripped.startswith("<code "):
+            out.append("```")
+            in_code = True
+            continue
+        if stripped == "</code>":
+            out.append("```")
+            in_code = False
+            continue
+        if in_code:
+            out.append(line)
+            continue
+        m = _DOKU_HEAD_RE.match(stripped)
+        if m:
+            out.append("#" * (7 - len(m.group(1))) + " "
+                       + _doku_inline(m.group(2)))
+            continue
+        m = _DOKU_LIST_RE.match(line)
+        if m:
+            depth = len(m.group(1)) // 2 - 1
+            bullet = "1. " if m.group(2) == "-" else "- "
+            out.append("  " * depth + bullet + _doku_inline(m.group(3)))
+            continue
+        out.append(_doku_inline(line))
+    return "\n".join(out)
+
+
+DOKU_GOLDEN_TEMPLATE = (
+    "# Doc {id}\n"
+    "## Part {id}\n"
+    "intro {text} with **bold** and *italic* and `mono`\n"
+    "- item A\n"
+    "  - nested {id}\n"
+    "1. first\n"
+    "[site {id}](https://example.com/d/{id})\n"
+    "```\n"
+    "code //stays// {id}\n"
+    "```"
+)
+
+
+def synth_dokuwiki(doc_id: int, text: str) -> str:
+    i = doc_id
+    return (
+        f"====== Doc {i} ======\n"
+        f"===== Part {i} =====\n"
+        f"intro {text} with **bold** and //italic// and ''mono''\n"
+        "  * item A\n"
+        f"    * nested {i}\n"
+        "  - first\n"
+        f"[[https://example.com/d/{i}|site {i}]]\n"
+        "<code>\n"
+        f"code //stays// {i}\n"
+        "</code>"
+    )
+
+
+# --- Textile ----------------------------------------------------------------
+
+_TXT_HEAD_RE = re.compile(r"^h([1-6])\.\s+(.*)$")
+_TXT_BOLD_RE = re.compile(r"(?<![\w*])\*([^*\n]+)\*(?![\w*])")
+_TXT_ITALIC_RE = re.compile(r"(?<![\w_])_([^_\n]+)_(?![\w_])")
+_TXT_CODE_RE = re.compile(r"@([^@\n]+)@")
+_TXT_LINK_RE = re.compile(r'"([^"\n]+)":(https?://\S+?)(?=[\s.,;!?)]*(?:\s|$))')
+
+
+def _textile_inline(line: str) -> str:
+    line = _TXT_LINK_RE.sub(r"[\1](\2)", line)
+    line = _TXT_BOLD_RE.sub(r"**\1**", line)
+    line = _TXT_ITALIC_RE.sub(r"*\1*", line)
+    line = _TXT_CODE_RE.sub(r"`\1`", line)
+    return line
+
+
+def textile_to_md(text: str) -> str:
+    """Textile (public syntax): ``hN.`` headings, ``bq.`` quotes,
+    ``*``/``#`` list runs, ``*b*``/``_i_``/``@code@`` emphasis,
+    ``"label":url`` links."""
+    out: list[str] = []
+    for line in text.splitlines():
+        m = _TXT_HEAD_RE.match(line)
+        if m:
+            out.append("#" * int(m.group(1)) + " "
+                       + _textile_inline(m.group(2)))
+            continue
+        if line.startswith("bq. "):
+            out.append("> " + _textile_inline(line[4:]))
+            continue
+        m = re.match(r"^([*#]+)\s+(.*)$", line)
+        if m:
+            marks = m.group(1)
+            bullet = "1. " if marks[-1] == "#" else "- "
+            out.append("  " * (len(marks) - 1) + bullet
+                       + _textile_inline(m.group(2)))
+            continue
+        out.append(_textile_inline(line))
+    return "\n".join(out)
+
+
+TEXTILE_GOLDEN_TEMPLATE = (
+    "# Doc {id}\n"
+    "intro {text} with **bold** and *italic* and `mono`\n"
+    "> quoted {id}\n"
+    "- item A\n"
+    "  1. sub {id}\n"
+    "see [site {id}](https://example.com/d/{id}) now"
+)
+
+
+def synth_textile(doc_id: int, text: str) -> str:
+    i = doc_id
+    return (
+        f"h1. Doc {i}\n"
+        f"intro {text} with *bold* and _italic_ and @mono@\n"
+        f"bq. quoted {i}\n"
+        "* item A\n"
+        f"*# sub {i}\n"
+        f'see "site {i}":https://example.com/d/{i} now'
+    )
+
+
+from jimmy_ray.sources.fixturetpl import extract_query, sql_golden_query
+
+dokuwiki_extract = extract_query(synth_dokuwiki, dokuwiki_to_md,
+                                 batch_size=512)
+textile_extract = extract_query(synth_textile, textile_to_md,
+                                batch_size=512)
+
+
+def sql_dokuwiki_extract() -> str:
+    return sql_golden_query(DOKU_GOLDEN_TEMPLATE)
+
+
+def sql_textile_extract() -> str:
+    return sql_golden_query(TEXTILE_GOLDEN_TEMPLATE)

@@ -144,6 +144,8 @@ EXTENSION_FORMATS = {
     ".org": "org",
     ".rst": "rst", ".rest": "rst",
     ".tex": "latex",
+    ".doku": "dokuwiki",
+    ".textile": "textile",
 }
 
 
@@ -227,6 +229,12 @@ class FormatDispatchStage:
             "latex": _txt(__import__(
                 "jimmy_ray.sources.texmarkup", fromlist=["x"]
             ).latex_to_md),
+            "dokuwiki": _txt(__import__(
+                "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+            ).dokuwiki_to_md),
+            "textile": _txt(__import__(
+                "jimmy_ray.sources.lightmarkup", fromlist=["x"]
+            ).textile_to_md),
         }
         if parsers:
             self.parsers.update(parsers)

@@ -234,3 +234,36 @@ def test_dispatch_routes_texmarkup():
     assert stage.parsers["org"](b"* H\n- li") == "# H\n- li"
     assert stage.parsers["rst"](b"T\n=\n") == "# T"
     assert stage.parsers["latex"](rb"\section{S}") == "# S"
+
+
+# --- dokuwiki / textile -----------------------------------------------------
+
+
+def test_dokuwiki_golden_and_details():
+    got = lm.dokuwiki_to_md(lm.synth_dokuwiki(5, TEXT))
+    assert got == lm.DOKU_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    # heading depth counts DOWN: == x == is h5
+    assert lm.dokuwiki_to_md("== deep ==") == "##### deep"
+    assert lm.dokuwiki_to_md("[[wiki:page]]") == "[wiki:page](wiki:page)"
+    assert lm.dokuwiki_to_md("a // not italic") == "a // not italic"
+
+
+def test_textile_golden_and_details():
+    got = lm.textile_to_md(lm.synth_textile(5, TEXT))
+    assert got == lm.TEXTILE_GOLDEN_TEMPLATE.replace("{id}", "5").replace(
+        "{text}", TEXT)
+    assert lm.textile_to_md('end "lbl":https://x.test/p.') == \
+        "end [lbl](https://x.test/p)."
+    assert lm.textile_to_md("h3. Three") == "### Three"
+    assert lm.textile_to_md("snake_case_word stays") == "snake_case_word stays"
+
+
+def test_dispatch_routes_doku_textile():
+    from jimmy_ray.sources.readers import FormatDispatchStage, detect_format
+
+    assert detect_format("page.doku") == "dokuwiki"
+    assert detect_format("note.textile") == "textile"
+    stage = FormatDispatchStage()
+    assert stage.parsers["dokuwiki"](b"====== T ======") == "# T"
+    assert stage.parsers["textile"](b"h2. S") == "## S"
