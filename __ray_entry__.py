@@ -56,6 +56,16 @@ def entry() -> Any:
 # never had a driver-green row (47 never-sampled per VERDICT r3) plus
 # link_resolution (re-certifies the round-3 partitioned-join default path)
 # and two rows-only queries whose implementation changed this round.
+#
+# ROUND-5 NOTE: the queries added DURING round 4 sit after position 50 and
+# are local-harness-green only — next round's window should lead with:
+# container_dispatch, docx_extract, odt_extract, rtf_extract,
+# asciidoc_extract, mediawiki_extract, epub_extract, opml_extract,
+# org_extract, rst_extract, latex_extract, dokuwiki_extract,
+# textile_extract (+ re-certify pdf_extract / signal_extract /
+# affine_extract / anki_extract / sevenzip_extract, whose fixture paths
+# gained encryption/container layers late in round 4), then backfill any
+# CORRECTNESS_r04 misses.
 _DRIVER_WINDOW_R4 = [
     "enex_extract",
     "google_keep_extract",
