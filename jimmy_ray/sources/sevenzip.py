@@ -7,8 +7,9 @@ format documentation (7zFormat.txt / 7zC readme):
 
 - signature header + CRC-checked next-header locator,
 - variable-length number codec,
-- folders as linear simple-coder chains of Copy (00), LZMA1 (030101,
-  stdlib ``lzma`` raw streams) and AES256SHA256 (06f10701),
+- folders as linear simple-coder chains of Copy (00), LZMA1 (030101),
+  LZMA2 (21, the modern ``7z a`` default) and BZip2 (040202) — all via
+  stdlib raw streams — and AES256SHA256 (06f10701),
 - the 7z AES key derivation (SHA-256 over salt ‖ UTF-16-LE password ‖
   LE64 counter for 2^NumCyclesPower rounds) on top of the vectorized
   AES-256 core in jimmy_ray.scalars.aes,
@@ -50,6 +51,8 @@ K_NAME, K_ENCODED_HEADER = 0x11, 0x17
 
 ID_COPY = b"\x00"
 ID_LZMA1 = b"\x03\x01\x01"
+ID_LZMA2 = b"\x21"
+ID_BZIP2 = b"\x04\x02\x02"
 ID_AES256 = b"\x06\xf1\x07\x01"
 
 CYCLES_POWER = 16  # 2^16 SHA-256 rounds, 7-Zip's default KDF cost
@@ -163,6 +166,19 @@ def aes_encode(data: bytes, salt: bytes, iv: bytes, password: str,
 
 # --- folder coding ----------------------------------------------------------
 
+def _lzma_raw_decode(data: bytes, filt: dict, size: int) -> bytes:
+    """Raw-stream decode; one call may yield < max_length (internal
+    buffering, e.g. AES zero-padding after a solid stream) — drain."""
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
+    out = dec.decompress(data, max_length=size)
+    while len(out) < size and not dec.eof:
+        chunk = dec.decompress(b"", max_length=size - len(out))
+        if not chunk:
+            break
+        out += chunk
+    return out
+
+
 def _decode_folder(coders: list[dict], bind_pairs: list[tuple[int, int]],
                    unpack_sizes: list[int], packed: bytes,
                    password: str | None) -> bytes:
@@ -185,17 +201,18 @@ def _decode_folder(coders: list[dict], bind_pairs: list[tuple[int, int]],
                     "dict_size": int.from_bytes(props[1:5], "little"),
                     "lc": props[0] % 9, "lp": (props[0] // 9) % 5,
                     "pb": props[0] // 45}
-            dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW,
-                                        filters=[filt])
-            # one call may yield < max_length (internal buffering, e.g.
-            # AES zero-padding after a solid stream) — drain until size
-            out = dec.decompress(data, max_length=size)
-            while len(out) < size and not dec.eof:
-                chunk = dec.decompress(b"", max_length=size - len(out))
-                if not chunk:
-                    break
-                out += chunk
-            return out
+            return _lzma_raw_decode(data, filt, size)
+        if coder["id"] == ID_LZMA2:
+            b = coder["props"][0]
+            dict_size = (0xFFFFFFFF if b == 40
+                         else (2 | (b & 1)) << (b // 2 + 11))
+            return _lzma_raw_decode(
+                data, {"id": lzma.FILTER_LZMA2, "dict_size": dict_size},
+                size)
+        if coder["id"] == ID_BZIP2:
+            import bz2
+
+            return bz2.decompress(data)[:size]
         if coder["id"] == ID_AES256:
             if password is None:
                 raise ValueError("archive is encrypted; password required")
@@ -205,15 +222,19 @@ def _decode_folder(coders: list[dict], bind_pairs: list[tuple[int, int]],
     return value(final_out)
 
 
-def _encode_folder(data: bytes, password: str | None, compress: bool,
-                   salt: bytes, iv: bytes,
+_LZMA2_DICT_CODE = 8  # (2|0) << (8//2 + 11) = 65536 = _LZMA_DICT
+
+
+def _encode_folder(data: bytes, password: str | None,
+                   compress: bool | str, salt: bytes, iv: bytes,
                    cycles_power: int = CYCLES_POWER
                    ) -> tuple[bytes, bytes, list[int]]:
-    """data -> (packed bytes, folder definition bytes, out sizes)."""
+    """data -> (packed bytes, folder definition bytes, out sizes).
+    ``compress``: False/"copy", True/"lzma", "lzma2", "bzip2"."""
     coders: list[tuple[bytes, bytes | None]] = []
     sizes: list[int] = []
-    stream = data
-    if compress:
+    codec = {False: "copy", True: "lzma"}.get(compress, compress)
+    if codec == "lzma":
         comp = lzma.LZMACompressor(
             format=lzma.FORMAT_RAW,
             filters=[dict(_LZMA_FILTER, mode=lzma.MODE_NORMAL,
@@ -221,7 +242,21 @@ def _encode_folder(data: bytes, password: str | None, compress: bool,
         stream = comp.compress(data) + comp.flush()
         coders.append((ID_LZMA1, _LZMA_PROPS))
         sizes.append(len(data))
+    elif codec == "lzma2":
+        comp = lzma.LZMACompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "dict_size": _LZMA_DICT}])
+        stream = comp.compress(data) + comp.flush()
+        coders.append((ID_LZMA2, bytes([_LZMA2_DICT_CODE])))
+        sizes.append(len(data))
+    elif codec == "bzip2":
+        import bz2
+
+        stream = bz2.compress(data)
+        coders.append((ID_BZIP2, None))
+        sizes.append(len(data))
     else:
+        stream = data
         coders.append((ID_COPY, None))
         sizes.append(len(data))
     if password is not None:
@@ -314,7 +349,7 @@ def _det_bytes(tag: bytes, n: int) -> bytes:
 
 
 def build_7z(members: list[tuple[str, bytes]], password: str | None = None,
-             compress: bool = True, encrypt_header: bool = False,
+             compress: bool | str = True, encrypt_header: bool = False,
              cycles_power: int = CYCLES_POWER, solid: bool = False) -> bytes:
     """Write an archive: one folder per member — or, with ``solid=True``,
     ALL members concatenated into one folder with kSubStreamsInfo sizes
@@ -573,18 +608,19 @@ PASSWORD = "fixture-password"
 
 
 def synth_7z(doc_id: int, text: str) -> bytes:
-    """Per-document encrypted archive exercising every layout: doc_id%2
-    toggles Copy vs LZMA1 chains, doc_id%3==0 adds the encrypted-header
-    (-mhe=on) wrapping, doc_id%5==0 packs both members into one solid
-    folder (kSubStreamsInfo, the 7z CLI default).  cycles_power 10
-    keeps the fixture KDF cheap; the format field carries it, so the
-    reader handles any cost."""
+    """Per-document encrypted archive exercising every layout: doc_id%4
+    cycles the Copy / LZMA1 / LZMA2 / BZip2 chains, doc_id%3==0 adds
+    the encrypted-header (-mhe=on) wrapping, doc_id%5==0 packs both
+    members into one solid folder (kSubStreamsInfo, the 7z CLI
+    default).  cycles_power 10 keeps the fixture KDF cheap; the format
+    field carries it, so the reader handles any cost."""
     members = [
         (f"Doc {doc_id}.md", f"# Doc {doc_id}\n\n{text}".encode()),
         ("meta/source.txt", f"export {doc_id}".encode()),
     ]
     return build_7z(members, password=PASSWORD,
-                    compress=doc_id % 2 == 1,
+                    compress=("copy", "lzma", "lzma2",
+                              "bzip2")[doc_id % 4],
                     encrypt_header=doc_id % 3 == 0,
                     cycles_power=10,
                     solid=doc_id % 5 == 0)

@@ -178,3 +178,15 @@ def test_substream_crc_excludes_folders_with_defined_crc():
     assert info["substreams"]["counts"] == [1, 2]
     assert info["substreams"]["sizes"] == [[10], [5, 15]]
     assert info["folder_crc_defined"] == [True, True]
+
+
+@pytest.mark.parametrize("codec", ["copy", "lzma", "lzma2", "bzip2"])
+@pytest.mark.parametrize("password", [None, "pw"])
+def test_all_codecs_roundtrip(codec, password):
+    archive = sz.build_7z(MEMBERS, password=password, compress=codec,
+                          cycles_power=8)
+    assert sz.parse_7z(archive, password) == MEMBERS
+    # solid layout per codec too (one shared stream split by sizes)
+    archive = sz.build_7z(MEMBERS, password=password, compress=codec,
+                          cycles_power=8, solid=True)
+    assert sz.parse_7z(archive, password) == MEMBERS
