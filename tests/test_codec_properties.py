@@ -25,7 +25,7 @@ _member_names = st.lists(
 @settings(max_examples=25, deadline=None)
 @given(names=_member_names,
        payload=st.binary(max_size=500),
-       compress=st.booleans(),
+       compress=st.sampled_from(["copy", "lzma", "lzma2", "bzip2"]),
        solid=st.booleans(),
        password=st.sampled_from([None, "pw"]))
 def test_7z_any_layout_roundtrips(names, payload, compress, solid,
