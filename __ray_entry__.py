@@ -441,6 +441,15 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "textile_extract": lambda sf: __import__(
             "jimmy_ray.sources.lightmarkup", fromlist=["x"]
         ).textile_extract(sf),
+        "url_canonicalize": lambda sf: __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).url_canonicalize(sf),
+        "url_dedup": lambda sf: __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).url_dedup(sf),
+        "domain_stats": lambda sf: __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).domain_stats(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -868,6 +877,15 @@ def oracle_sql() -> dict[str, str]:
         "textile_extract": __import__(
             "jimmy_ray.sources.lightmarkup", fromlist=["x"]
         ).sql_textile_extract(),
+        "url_canonicalize": __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).sql_url_canonicalize(),
+        "url_dedup": __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).sql_url_dedup(),
+        "domain_stats": __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).sql_domain_stats(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

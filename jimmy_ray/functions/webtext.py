@@ -1,0 +1,258 @@
+"""Web-corpus URL curation: canonicalization, URL-dedup, domain stats.
+
+Classic webtext-pipeline operators over the crawl's `url` column (the
+normalization rules are the public conventions crawlers apply — RFC
+3986 §6 syntax-based normalization plus the usual tracking-param
+scrub):
+
+- scheme and host lowercase; default ports stripped (``:80`` http,
+  ``:443`` https); fragment dropped,
+- ``utm_*`` / ``fbclid`` / ``gclid`` tracking params dropped, the
+  remaining query params sorted by key (stable for equal keys),
+  empty query dropped,
+- path preserved byte-for-byte (case-significant per RFC 3986),
+- registrable domain = last two host labels (naive eTLD heuristic;
+  a real deployment ships the public-suffix list as a broadcast
+  side table — same lookup shape, bigger dict).
+
+Fixtures synthesize three messy variants per document (two of which
+canonicalize identically) so the dedup is non-trivial; every step has
+a DuckDB SQL mirror built from the same templates.
+
+Scale shape: canonicalize is a stateless map (cheap string ops per
+row); URL-dedup is map-side canonicalize + one groupby(canonical) —
+the same single-exchange shape as exact dedup; domain stats
+pre-aggregates per batch before a small groupby.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TRACKING_RE = re.compile(r"^(utm_|fbclid$|gclid$)")
+
+
+def canonicalize_url(url: str) -> str:
+    """RFC 3986 syntax normalization + tracking-param scrub."""
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    if port and not ((scheme == "http" and port == 80)
+                     or (scheme == "https" and port == 443)):
+        host = f"{host}:{port}"
+    params = [p for p in parts.query.split("&") if p]
+    kept = sorted((p for p in params
+                   if not _TRACKING_RE.match(p.split("=", 1)[0])),
+                  key=lambda p: p.split("=", 1)[0])
+    query = "&".join(kept)
+    return (f"{scheme}://{host}{parts.path}"
+            + (f"?{query}" if query else ""))
+
+
+def registrable_domain(url: str) -> str:
+    host = (urlsplit(url).hostname or "").lower()
+    labels = host.split(".")
+    return ".".join(labels[-2:]) if len(labels) >= 2 else host
+
+
+# --- fixtures (3 messy variants/doc; v0 and v1 canonicalize equal) ----------
+
+N_URL_VARIANTS = 3
+
+
+def synth_url(doc_id: int, variant: int) -> str:
+    k = doc_id % 50
+    if variant == 0:
+        return (f"https://WWW.Example{k}.COM:443/Path{doc_id}/"
+                f"?utm_source=feed&b=2&a=1#frag")
+    if variant == 1:
+        return f"https://www.example{k}.com/Path{doc_id}/?a=1&b=2"
+    return f"http://example{k}.com:80/other{doc_id}"
+
+
+def _sql_canonical(variant_expr: str = "v") -> str:
+    """Canonical url per (doc_id, variant) — mirror of
+    canonicalize_url(synth_url(...)) built from the same templates."""
+    k = "CAST(doc_id % 50 AS VARCHAR)"
+    i = "CAST(doc_id AS VARCHAR)"
+    return (
+        f"CASE WHEN {variant_expr} IN (0, 1) THEN "
+        f"'https://www.example' || {k} || '.com/Path' || {i} || '/?a=1&b=2' "
+        f"ELSE 'http://example' || {k} || '.com/other' || {i} END"
+    )
+
+
+_VARIANTS_CTE = ("WITH variants AS (SELECT * FROM (VALUES (0), (1), (2))"
+                 " AS t(v))")
+
+
+# --- queries ----------------------------------------------------------------
+
+def url_canonicalize(sf_dir: str):
+    """One row per (doc, variant): the messy url and its canonical."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, variants, urls, canon = [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            for v in range(N_URL_VARIANTS):
+                u = synth_url(d, v)
+                ids.append(d)
+                variants.append(v)
+                urls.append(u)
+                canon.append(canonicalize_url(u))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "variant": pa.array(variants, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "canonical": pa.array(canon, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def sql_url_canonicalize() -> str:
+    k = "CAST(doc_id % 50 AS VARCHAR)"
+    i = "CAST(doc_id AS VARCHAR)"
+    url = (
+        "CASE v WHEN 0 THEN 'https://WWW.Example' || {k} || '.COM:443/Path'"
+        " || {i} || '/?utm_source=feed&b=2&a=1#frag' "
+        "WHEN 1 THEN 'https://www.example' || {k} || '.com/Path' || {i}"
+        " || '/?a=1&b=2' "
+        "ELSE 'http://example' || {k} || '.com:80/other' || {i} END"
+    ).format(k=k, i=i)
+    return f"""
+{_VARIANTS_CTE}
+SELECT doc_id, CAST(v AS BIGINT) AS variant, {url} AS url,
+       {_sql_canonical()} AS canonical
+FROM documents CROSS JOIN variants
+"""
+
+
+def url_dedup(sf_dir: str):
+    """Canonical-URL dedup: canonicalize map-side, keep the first
+    (lowest-variant) url per canonical, count the collapsed copies —
+    the exact-dedup shape with URL normalization as the key."""
+    import ray.data as rd
+
+    ds = url_canonicalize(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # map-side combine: one row per canonical per batch
+        import pandas as pd
+
+        df = batch.select(["canonical", "url", "variant"]).to_pandas()
+        df = df.sort_values(["canonical", "variant"], kind="mergesort")
+        g = df.groupby("canonical", sort=False)
+        out = g.agg(url=("url", "first"), n_urls=("url", "size"),
+                    min_variant=("variant", "min")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def merge(batch):
+        import pandas as pd
+
+        g = batch.sort_values(["canonical", "min_variant"],
+                              kind="mergesort").groupby("canonical",
+                                                        sort=False)
+        return g.agg(url=("url", "first"), n_urls=("n_urls", "sum"),
+                     min_variant=("min_variant", "min")).reset_index()
+
+    return (partials.repartition(8)
+            .groupby("canonical")
+            .map_groups(merge, batch_format="pandas")
+            .select_columns(["canonical", "url", "n_urls"]))
+
+
+def sql_url_dedup() -> str:
+    return f"""
+{_VARIANTS_CTE}, canon AS (
+  SELECT doc_id, v, {_sql_canonical()} AS canonical
+  FROM documents CROSS JOIN variants
+)
+SELECT canonical,
+  CASE WHEN min(v) <= 1 THEN
+    'https://WWW.Example' || CAST(doc_id % 50 AS VARCHAR)
+      || '.COM:443/Path' || CAST(doc_id AS VARCHAR)
+      || '/?utm_source=feed&b=2&a=1#frag'
+  ELSE
+    'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com:80/other'
+      || CAST(doc_id AS VARCHAR)
+  END AS url,
+  CAST(count(*) AS BIGINT) AS n_urls
+FROM canon
+GROUP BY canonical, doc_id
+"""
+
+
+def domain_stats(sf_dir: str):
+    """Registrable-domain rollup: urls + distinct docs per domain,
+    pre-aggregated inside map_batches before one small groupby.  The
+    exact-distinct doc count ships per-batch doc-id sets (fine while
+    docs/domain is modest); at 100 TB swap the set for the mergeable
+    HLL sketch in functions/sketches.py — same partial/merge shape,
+    constant state per domain."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rows = []
+        for d in batch["doc_id"].to_pylist():
+            for v in range(N_URL_VARIANTS):
+                rows.append((registrable_domain(synth_url(d, v)), d))
+        df = pd.DataFrame(rows, columns=["domain", "doc_id"])
+        g = df.groupby("domain", sort=False)
+        out = g.agg(n_urls=("doc_id", "size"),
+                    n_docs=("doc_id", "nunique")).reset_index()
+        # n_docs partials can't just sum across batches; ship doc sets
+        # compactly as per-batch uniques and re-count after the shuffle
+        out2 = df.drop_duplicates().groupby("domain", sort=False).agg(
+            docs=("doc_id", lambda s: list(s))).reset_index()
+        out = out.merge(out2, on="domain")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                batch_size=4096)
+
+    def merge(batch):
+        import pandas as pd
+
+        domain = batch["domain"].iloc[0]
+        docs_all = set()
+        for lst in batch["docs"]:
+            docs_all.update(lst)
+        return pd.DataFrame({
+            "domain": [domain],
+            "n_urls": [int(batch["n_urls"].sum())],
+            "n_docs": [len(docs_all)],
+        })
+
+    return (partials.repartition(8)
+            .groupby("domain")
+            .map_groups(merge, batch_format="pandas"))
+
+
+def sql_domain_stats() -> str:
+    k = "CAST(doc_id % 50 AS VARCHAR)"
+    return f"""
+{_VARIANTS_CTE}
+SELECT 'example' || {k} || '.com' AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM documents CROSS JOIN variants
+GROUP BY domain
+"""
