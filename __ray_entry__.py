@@ -450,6 +450,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": lambda sf: __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).domain_stats(sf),
+        "warc_extract": lambda sf: __import__(
+            "jimmy_ray.sources.warc", fromlist=["x"]
+        ).warc_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -886,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).sql_domain_stats(),
+        "warc_extract": __import__(
+            "jimmy_ray.sources.warc", fromlist=["x"]
+        ).sql_warc_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

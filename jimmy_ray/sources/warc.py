@@ -1,0 +1,190 @@
+"""WARC (ISO 28500) reader: the web-crawl container format.
+
+The engine's flagship corpus is Common-Crawl-shaped pages; the on-disk
+format those crawls actually ship is WARC — so the archive layer gets a
+real reader.  Subset per the public spec:
+
+- record grammar: ``WARC/1.0`` version line, named headers,
+  ``Content-Length``-sliced payload, CRLF CRLF record delimiter,
+- record types: ``response`` parsed (HTTP status line + headers +
+  body), ``warcinfo`` / ``request`` / ``metadata`` skipped,
+- the standard storage layout where EACH RECORD is its own gzip member
+  and members are concatenated (``.warc.gz``) — stdlib zlib walks the
+  member chain; plain ``.warc`` accepted too,
+- response bodies route through the shared HTML→Markdown path.
+
+The fixture writer emits both layouts (gzip members on even doc_ids)
+rendering the golden template the SQL mirror derives from.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+
+
+def _gzip_member(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+    return co.compress(data) + co.flush()
+
+
+def split_gzip_members(payload: bytes) -> bytes:
+    """Decompress a chain of concatenated gzip members (the .warc.gz
+    layout); returns the concatenated plaintext."""
+    out = bytearray()
+    pos = 0
+    while pos < len(payload):
+        dec = zlib.decompressobj(16 + 15)
+        out += dec.decompress(payload[pos:])
+        consumed = len(payload) - pos - len(dec.unused_data)
+        if consumed <= 0:
+            raise ValueError("corrupt gzip member chain")
+        pos += consumed
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """One dict per WARC record: headers + raw block.  Accepts plain
+    and gzip-member layouts (sniffed by magic)."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = split_gzip_members(payload)
+    records = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"WARC/":
+            raise ValueError(f"expected WARC version line at {pos}")
+        head_end = payload.index(_CRLF + _CRLF, pos)
+        head_lines = payload[pos:head_end].split(_CRLF)
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            k, _, v = line.decode("utf-8").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        block_start = head_end + 4
+        records.append({
+            "version": head_lines[0].decode(),
+            "headers": headers,
+            "block": payload[block_start:block_start + length],
+        })
+        pos = block_start + length
+        while payload[pos:pos + 2] == _CRLF:
+            pos += 2
+    return records
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status, headers, body) from an HTTP response block."""
+    head_end = block.index(_CRLF + _CRLF)
+    lines = block[:head_end].split(_CRLF)
+    status = int(lines[0].split()[1])
+    headers = {}
+    for line in lines[1:]:
+        k, _, v = line.decode("latin-1").partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, block[head_end + 4:]
+
+
+def warc_responses_to_rows(payload: bytes) -> list[dict]:
+    """response records → (uri, status, markdown text) rows; other
+    record types skipped (warcinfo/request/metadata)."""
+    from jimmy_ray.html.extract import html_to_markdown
+
+    rows = []
+    for rec in parse_warc(payload):
+        if rec["headers"].get("warc-type") != "response":
+            continue
+        status, http_headers, body = parse_http_response(rec["block"])
+        text = ""
+        if "text/html" in http_headers.get("content-type", ""):
+            text = html_to_markdown(body)
+        rows.append({
+            "uri": rec["headers"].get("warc-target-uri", ""),
+            "status": status,
+            "text": text,
+        })
+    return rows
+
+
+# --- fixture ----------------------------------------------------------------
+
+def _record(rtype: str, uri: str, block: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode()
+    return head + block + _CRLF + _CRLF
+
+
+def synth_warc(doc_id: int, text: str) -> bytes:
+    """warcinfo + request + response (+ a non-HTML response) per doc;
+    even doc_ids use the per-record-gzip-member .warc.gz layout."""
+    uri = f"https://crawl.test/doc/{doc_id}"
+    html = (f"<html><body><h1>Doc {doc_id}</h1>"
+            f"<p>{text}</p></body></html>").encode()
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n\r\n" + html)
+    records = [
+        _record("warcinfo", "", b"software: fixture\r\n"),
+        _record("request", uri, b"GET /doc HTTP/1.1\r\n\r\n"),
+        _record("response", uri, http),
+        _record("response", uri + "/data",
+                b"HTTP/1.1 200 OK\r\nContent-Type: application/json"
+                b"\r\n\r\n{}"),
+    ]
+    if doc_id % 2 == 0:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+WARC_GOLDEN_TEMPLATE = "# Doc {id}\n\n{text}"
+
+
+def warc_extract(sf_dir: str):
+    """documents → per-doc WARC (both layouts) → response rows with
+    HTML routed through the shared extraction path."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, uris, statuses, texts = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for row in warc_responses_to_rows(synth_warc(d, t)):
+                ids.append(d)
+                uris.append(row["uri"])
+                statuses.append(row["status"])
+                texts.append(row["text"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "uri": pa.array(uris, pa.string()),
+            "status": pa.array(statuses, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def sql_warc_extract() -> str:
+    from jimmy_ray.sources.fixturetpl import sql_golden
+
+    i = "CAST(doc_id AS VARCHAR)"
+    return f"""
+SELECT doc_id, uri, status, text FROM (
+  SELECT doc_id, 'https://crawl.test/doc/' || {i} AS uri,
+         CAST(200 AS BIGINT) AS status,
+         {sql_golden(WARC_GOLDEN_TEMPLATE)} AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'https://crawl.test/doc/' || {i} || '/data',
+         CAST(200 AS BIGINT), ''
+  FROM documents
+)
+"""

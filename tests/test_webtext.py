@@ -31,3 +31,41 @@ def test_fixture_variants_collapse_as_designed():
     assert c0 == c1 != c2
     assert wt.registrable_domain(wt.synth_url(7, 0)) == \
         wt.registrable_domain(wt.synth_url(7, 2)) == "example7.com"
+
+
+# --- WARC -------------------------------------------------------------------
+
+from jimmy_ray.sources import warc
+
+
+def test_warc_record_grammar_and_layouts():
+    for d in (4, 5):  # gzip-member chain vs plain
+        recs = warc.parse_warc(warc.synth_warc(d, "t"))
+        assert [r["headers"]["warc-type"] for r in recs] == \
+            ["warcinfo", "request", "response", "response"]
+        assert all(r["version"] == "WARC/1.0" for r in recs)
+    # byte-deterministic fixtures
+    assert warc.synth_warc(4, "t") == warc.synth_warc(4, "t")
+
+
+def test_warc_content_length_slices_exactly():
+    # a body containing the record delimiter must not split the record
+    tricky = b"<p>a</p>\r\n\r\nWARC/1.0 fake"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + tricky)
+    payload = warc._record("response", "u", http)
+    recs = warc.parse_warc(payload)
+    assert len(recs) == 1
+    status, _, body = warc.parse_http_response(recs[0]["block"])
+    assert status == 200 and body == tricky
+
+
+def test_warc_gzip_member_chain_roundtrip():
+    members = [b"alpha " * 50, b"beta", b""]
+    chain = b"".join(warc._gzip_member(m) for m in members if m)
+    assert warc.split_gzip_members(chain) == b"".join(members)
+
+
+def test_warc_non_response_records_skipped():
+    rows = warc.warc_responses_to_rows(warc.synth_warc(7, "x"))
+    assert [r["uri"] for r in rows] == [
+        "https://crawl.test/doc/7", "https://crawl.test/doc/7/data"]
