@@ -453,6 +453,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": lambda sf: __import__(
             "jimmy_ray.sources.warc", fromlist=["x"]
         ).warc_extract(sf),
+        "feed_extract": lambda sf: __import__(
+            "jimmy_ray.sources.feeds", fromlist=["x"]
+        ).feed_extract(sf),
+        "sitemap_extract": lambda sf: __import__(
+            "jimmy_ray.sources.feeds", fromlist=["x"]
+        ).sitemap_extract(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -892,6 +898,12 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": __import__(
             "jimmy_ray.sources.warc", fromlist=["x"]
         ).sql_warc_extract(),
+        "feed_extract": __import__(
+            "jimmy_ray.sources.feeds", fromlist=["x"]
+        ).sql_feed_extract(),
+        "sitemap_extract": __import__(
+            "jimmy_ray.sources.feeds", fromlist=["x"]
+        ).sql_sitemap_extract(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

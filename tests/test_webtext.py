@@ -69,3 +69,33 @@ def test_warc_non_response_records_skipped():
     rows = warc.warc_responses_to_rows(warc.synth_warc(7, "x"))
     assert [r["uri"] for r in rows] == [
         "https://crawl.test/doc/7", "https://crawl.test/doc/7/data"]
+
+
+# --- feeds / sitemap --------------------------------------------------------
+
+from jimmy_ray.sources import feeds
+
+
+def test_rss_and_atom_share_the_html_path():
+    for d in (4, 5):
+        rows = (feeds.parse_rss if d % 2 else feeds.parse_atom)(
+            feeds.synth_feed(d, "t"))
+        assert rows[0]["text"].startswith(f"# Doc {d}")
+        assert rows[1]["text"] == f"update **{d}**"
+        assert feeds.synth_feed(d, "t") == feeds.synth_feed(d, "t")
+
+
+def test_atom_html_content_is_unescaped_before_parse():
+    payload = (b'<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+               b"<title>T</title>"
+               b'<content type="html">&lt;p&gt;a &amp;amp; b&lt;/p&gt;'
+               b"</content></entry></feed>")
+    assert feeds.parse_atom(payload)[0]["text"] == "a & b"
+
+
+def test_sitemap_priority_integer_milli():
+    rows = feeds.parse_sitemap(feeds.synth_sitemap(3, "x"))
+    assert [r["priority_milli"] for r in rows] == [300, 400]
+    no_prio = (b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+               b"<url><loc>https://a/</loc></url></urlset>")
+    assert feeds.parse_sitemap(no_prio)[0]["priority_milli"] is None
