@@ -459,6 +459,21 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_extract": lambda sf: __import__(
             "jimmy_ray.sources.feeds", fromlist=["x"]
         ).sitemap_extract(sf),
+        # recrawl collapse: newest capture per url (webtext tier)
+        "latest_snapshot": lambda sf: __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).latest_snapshot(sf),
+        # RFC 9309 robots.txt parse + crawl-permission filter
+        "robots_filter": lambda sf: __import__(
+            "jimmy_ray.functions.robots", fromlist=["x"]
+        ).robots_filter(sf),
+        # link-graph degree rollup + integer fixed-point PageRank
+        "link_graph_degrees": lambda sf: __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).link_graph_degrees(sf),
+        "pagerank": lambda sf: __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).pagerank(sf),
         # Joplin JEX tar container with id-linked items (joplin.py:100-180)
         "joplin_extract": lambda sf: __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
@@ -904,6 +919,18 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_extract": __import__(
             "jimmy_ray.sources.feeds", fromlist=["x"]
         ).sql_sitemap_extract(),
+        "latest_snapshot": __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).sql_latest_snapshot(),
+        "robots_filter": __import__(
+            "jimmy_ray.functions.robots", fromlist=["x"]
+        ).sql_robots_filter(),
+        "link_graph_degrees": __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).sql_link_graph_degrees(),
+        "pagerank": __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).sql_pagerank(),
         "joplin_extract": __import__(
             "jimmy_ray.sources.joplin", fromlist=["x"]
         ).sql_joplin_extract(),

@@ -195,6 +195,108 @@ GROUP BY canonical, doc_id
 """
 
 
+N_SNAPSHOTS = 3
+_SNAP_EPOCH = 1_704_067_200  # 2024-01-01, same epoch as synth pages
+_SNAP_YEAR = 31_536_000
+_SNAP_STEP = 8117            # coprime-ish stride so the argmax varies
+
+
+def snapshot_ts_s(doc_id: int, variant: int, snap: int) -> int:
+    key = doc_id * N_URL_VARIANTS + variant
+    return _SNAP_EPOCH + (key * 997 + snap * _SNAP_STEP) % _SNAP_YEAR
+
+
+def latest_snapshot(sf_dir: str):
+    """Recrawl collapse: keep the newest capture per url.
+
+    Crawls re-fetch every url; the corpus wants exactly one row per url
+    — the latest snapshot.  Fixtures synthesize N_SNAPSHOTS captures
+    per url with template-derived timestamps (the argmax snapshot
+    varies per url), then the operator runs the exact-dedup exchange
+    shape with keep-max-ts instead of keep-first: map-side partial
+    keep-max per batch, one groupby(url), merge keep-max.  At 100 TB
+    this is the same single all-to-all as url_dedup; no driver state.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def snaps(batch: pa.Table) -> pa.Table:
+        ids, variants, snaps_, ts = [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            for v in range(N_URL_VARIANTS):
+                for s in range(N_SNAPSHOTS):
+                    ids.append(d)
+                    variants.append(v)
+                    snaps_.append(s)
+                    ts.append(snapshot_ts_s(d, v, s))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "variant": pa.array(variants, pa.int64()),
+            "snap": pa.array(snaps_, pa.int64()),
+            "ts_s": pa.array(ts, pa.int64()),
+            "url": pa.array(
+                [synth_url(d, v) for d, v in zip(ids, variants)],
+                pa.string()),
+        })
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        idx = df.groupby("url", sort=False)["ts_s"].idxmax()
+        out = df.loc[idx, ["url", "ts_s", "snap"]].copy()
+        out["n_snaps"] = df.groupby("url", sort=False)["ts_s"] \
+            .size().reindex(out["url"]).to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = docs.map_batches(snaps, batch_format="pyarrow",
+                                batch_size=4096) \
+        .map_batches(keep_max, batch_format="pyarrow", batch_size=8192)
+
+    def merge(df):
+        import pandas as pd
+
+        i = df["ts_s"].idxmax()
+        return pd.DataFrame({
+            "url": [df["url"].iloc[0]],
+            "rev": [int(df.loc[i, "snap"])],
+            "n_snaps": [int(df["n_snaps"].sum())],
+            "warc_ts_s": [int(df.loc[i, "ts_s"])],
+        })
+
+    return (partials.repartition(8)
+            .groupby("url")
+            .map_groups(merge, batch_format="pandas"))
+
+
+def sql_latest_snapshot() -> str:
+    key = f"(doc_id * {N_URL_VARIANTS} + v)"
+    url = (
+        "CASE v WHEN 0 THEN 'https://WWW.Example' || CAST(doc_id % 50 AS"
+        " VARCHAR) || '.COM:443/Path' || CAST(doc_id AS VARCHAR)"
+        " || '/?utm_source=feed&b=2&a=1#frag' "
+        "WHEN 1 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.com/Path' || CAST(doc_id AS VARCHAR) || '/?a=1&b=2' "
+        "ELSE 'http://example' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.com:80/other' || CAST(doc_id AS VARCHAR) END"
+    )
+    return f"""
+{_VARIANTS_CTE}, snaps AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(s)),
+caps AS (
+  SELECT {url} AS url, s,
+         {_SNAP_EPOCH} + ({key} * 997 + s * {_SNAP_STEP}) % {_SNAP_YEAR}
+           AS ts_s
+  FROM documents CROSS JOIN variants CROSS JOIN snaps
+)
+SELECT url, CAST(arg_max(s, ts_s) AS BIGINT) AS rev,
+       CAST(count(*) AS BIGINT) AS n_snaps,
+       CAST(max(ts_s) AS BIGINT) AS warc_ts_s
+FROM caps GROUP BY url
+"""
+
+
 def domain_stats(sf_dir: str):
     """Registrable-domain rollup: urls + distinct docs per domain,
     pre-aggregated inside map_batches before one small groupby.  The
