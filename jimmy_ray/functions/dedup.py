@@ -626,7 +626,8 @@ def min_label_components(edges, max_iters: int = 16,
     from ray.data.aggregate import Min, Sum
 
     edges = edges.materialize()
-    if local_threshold and edges.count() <= local_threshold:
+    n_edges = edges.count()
+    if local_threshold and n_edges <= local_threshold:
         import ray.data as rd
 
         df = edges.to_pandas()
@@ -634,6 +635,13 @@ def min_label_components(edges, max_iters: int = 16,
             df["a"].to_numpy(dtype=np.int64),
             df["b"].to_numpy(dtype=np.int64),
         ))
+    # clamp partitions to the data: a hash partition that receives zero
+    # label rows reaches pyarrow's join as a schemaless empty table and
+    # fails with "No match ... FieldRef.Name(node)" (Ray 2.49 race, seen
+    # under full-suite load); tiny graphs (tests force the distributed
+    # path with local_threshold=0) fit one partition, at-scale inputs
+    # keep the requested fan-out where no partition can be empty
+    num_partitions = max(1, min(num_partitions, n_edges // 4096 + 1))
 
     def symmetric(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
