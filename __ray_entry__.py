@@ -459,6 +459,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_extract": lambda sf: __import__(
             "jimmy_ray.sources.feeds", fromlist=["x"]
         ).sitemap_extract(sf),
+        # MS-ONESTORE binary decode (.one revision store → page rows)
+        "onestore_extract": lambda sf: __import__(
+            "jimmy_ray.sources.onestore", fromlist=["x"]
+        ).onestore_extract(sf),
         # recrawl collapse: newest capture per url (webtext tier)
         "latest_snapshot": lambda sf: __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
@@ -919,6 +923,9 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_extract": __import__(
             "jimmy_ray.sources.feeds", fromlist=["x"]
         ).sql_sitemap_extract(),
+        "onestore_extract": __import__(
+            "jimmy_ray.sources.onestore", fromlist=["x"]
+        ).sql_onestore_extract(),
         "latest_snapshot": __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).sql_latest_snapshot(),
