@@ -441,6 +441,15 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "textile_extract": lambda sf: __import__(
             "jimmy_ray.sources.lightmarkup", fromlist=["x"]
         ).textile_extract(sf),
+        "creole_extract": lambda sf: __import__(
+            "jimmy_ray.sources.markup_tail", fromlist=["x"]
+        ).creole_extract(sf),
+        "vimwiki_extract": lambda sf: __import__(
+            "jimmy_ray.sources.markup_tail", fromlist=["x"]
+        ).vimwiki_extract(sf),
+        "docbook_extract": lambda sf: __import__(
+            "jimmy_ray.sources.markup_tail", fromlist=["x"]
+        ).docbook_extract(sf),
         "url_canonicalize": lambda sf: __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).url_canonicalize(sf),
@@ -905,6 +914,15 @@ def oracle_sql() -> dict[str, str]:
         "textile_extract": __import__(
             "jimmy_ray.sources.lightmarkup", fromlist=["x"]
         ).sql_textile_extract(),
+        "creole_extract": __import__(
+            "jimmy_ray.sources.markup_tail", fromlist=["x"]
+        ).sql_creole_extract(),
+        "vimwiki_extract": __import__(
+            "jimmy_ray.sources.markup_tail", fromlist=["x"]
+        ).sql_vimwiki_extract(),
+        "docbook_extract": __import__(
+            "jimmy_ray.sources.markup_tail", fromlist=["x"]
+        ).sql_docbook_extract(),
         "url_canonicalize": __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).sql_url_canonicalize(),
