@@ -62,10 +62,14 @@ def entry() -> Any:
 # container_dispatch, docx_extract, odt_extract, rtf_extract,
 # asciidoc_extract, mediawiki_extract, epub_extract, opml_extract,
 # org_extract, rst_extract, latex_extract, dokuwiki_extract,
-# textile_extract (+ re-certify pdf_extract / signal_extract /
-# affine_extract / anki_extract / sevenzip_extract, whose fixture paths
-# gained encryption/container layers late in round 4), then backfill any
-# CORRECTNESS_r04 misses.
+# textile_extract, creole_extract, vimwiki_extract, docbook_extract,
+# onestore_extract, warc_extract, feed_extract, sitemap_extract,
+# url_canonicalize, url_dedup, domain_stats, latest_snapshot,
+# robots_filter, link_graph_degrees, pagerank, wet_extract, cdx_index,
+# main_content_extract (+ re-certify pdf_extract
+# / signal_extract / affine_extract / anki_extract / sevenzip_extract,
+# whose fixture paths gained encryption/container layers late in
+# round 4), then backfill any CORRECTNESS_r04 misses.
 _DRIVER_WINDOW_R4 = [
     "enex_extract",
     "google_keep_extract",
@@ -468,6 +472,18 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_extract": lambda sf: __import__(
             "jimmy_ray.sources.feeds", fromlist=["x"]
         ).sitemap_extract(sf),
+        # WET conversion-record sidecar (Common Crawl *.warc.wet derivative)
+        "wet_extract": lambda sf: __import__(
+            "jimmy_ray.sources.warc", fromlist=["x"]
+        ).wet_extract(sf),
+        # CDX-J crawl index with SURT keys (the CC index shard format)
+        "cdx_index": lambda sf: __import__(
+            "jimmy_ray.sources.warc", fromlist=["x"]
+        ).cdx_index(sf),
+        # main-content extraction (boilerplate removal by link density)
+        "main_content_extract": lambda sf: __import__(
+            "jimmy_ray.html.maincontent", fromlist=["x"]
+        ).main_content_extract(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -941,6 +957,15 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_extract": __import__(
             "jimmy_ray.sources.feeds", fromlist=["x"]
         ).sql_sitemap_extract(),
+        "wet_extract": __import__(
+            "jimmy_ray.sources.warc", fromlist=["x"]
+        ).sql_wet_extract(),
+        "cdx_index": __import__(
+            "jimmy_ray.sources.warc", fromlist=["x"]
+        ).sql_cdx_index(),
+        "main_content_extract": __import__(
+            "jimmy_ray.html.maincontent", fromlist=["x"]
+        ).sql_main_content_extract(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

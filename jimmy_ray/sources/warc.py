@@ -188,3 +188,201 @@ SELECT doc_id, uri, status, text FROM (
   FROM documents
 )
 """
+
+
+# --- WET (extracted-text conversion records) ---------------------------------
+
+def wet_conversions_to_rows(payload: bytes) -> list[dict]:
+    """WET sidecar files carry ``WARC-Type: conversion`` records whose
+    block is the extracted plain text (text/plain) — the Common Crawl
+    *.warc.wet.gz derivative.  Same record grammar, no HTTP layer."""
+    rows = []
+    for rec in parse_warc(payload):
+        if rec["headers"].get("warc-type") != "conversion":
+            continue
+        rows.append({
+            "uri": rec["headers"].get("warc-target-uri", ""),
+            "refers_to": rec["headers"].get("warc-refers-to", ""),
+            "text": rec["block"].decode("utf-8"),
+        })
+    return rows
+
+
+def synth_wet(doc_id: int, text: str) -> bytes:
+    uri = f"https://crawl.test/doc/{doc_id}"
+    body = f"Doc {doc_id}\n{text}".encode()
+    records = [
+        _record("warcinfo", "", b"software: fixture-wet\r\n"),
+        _record_with(
+            "conversion", uri, body,
+            extra=f"WARC-Refers-To: <urn:uuid:{doc_id:032d}>\r\n"
+                  "Content-Type: text/plain\r\n"),
+        _record_with("conversion", uri + "/p2",
+                     f"part two {doc_id}".encode(),
+                     extra="Content-Type: text/plain\r\n"),
+    ]
+    if doc_id % 2 == 0:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+def _record_with(rtype: str, uri: str, block: bytes,
+                 extra: str = "") -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + extra
+        + f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode()
+    return head + block + _CRLF + _CRLF
+
+
+def wet_extract(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, uris, refs, texts = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for row in wet_conversions_to_rows(synth_wet(d, t)):
+                ids.append(d)
+                uris.append(row["uri"])
+                refs.append(row["refers_to"])
+                texts.append(row["text"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "uri": pa.array(uris, pa.string()),
+            "refers_to": pa.array(refs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def sql_wet_extract() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    return f"""
+SELECT doc_id, uri, refers_to, text FROM (
+  SELECT doc_id, 'https://crawl.test/doc/' || {i} AS uri,
+         '<urn:uuid:' || lpad({i}, 32, '0') || '>' AS refers_to,
+         'Doc ' || {i} || chr(10) || text AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'https://crawl.test/doc/' || {i} || '/p2', '',
+         'part two ' || {i}
+  FROM documents
+)
+"""
+
+
+# --- CDX-J crawl index (SURT keys) --------------------------------------------
+
+def surt_key(url: str) -> str:
+    """Sort-friendly URI Reordering Transform: host labels reversed and
+    comma-joined, default ports dropped, ``)`` separator, path kept
+    case-sensitively, query params sorted — the key Common Crawl's CDX
+    index sorts by."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    host = (parts.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split(".")))
+    port = parts.port
+    if port and not ((parts.scheme == "http" and port == 80)
+                     or (parts.scheme == "https" and port == 443)):
+        key += f":{port}"
+    key += ")" + parts.path
+    if parts.query:
+        key += "?" + "&".join(sorted(p for p in parts.query.split("&") if p))
+    return key
+
+
+def parse_cdxj(payload: bytes) -> list[dict]:
+    """CDX-J lines: ``<urlkey> <timestamp> <json>`` — one dict per line
+    with the json fields flattened in."""
+    import json
+
+    rows = []
+    for line in payload.decode("utf-8").splitlines():
+        if not line.strip():
+            continue
+        urlkey, _, rest = line.partition(" ")
+        ts, _, blob = rest.partition(" ")
+        row = {"urlkey": urlkey, "ts": int(ts)}
+        row.update(json.loads(blob))
+        rows.append(row)
+    return rows
+
+
+def synth_cdxj(doc_id: int) -> bytes:
+    """CDX-J index lines for the URL-tier fixtures (webtext.synth_url),
+    written in SURT order as a real index shard would be."""
+    import json
+
+    from jimmy_ray.functions.webtext import N_URL_VARIANTS, synth_url
+
+    lines = []
+    for v in range(N_URL_VARIANTS):
+        url = synth_url(doc_id, v)
+        lines.append((surt_key(url), 20240101000000 + v,
+                      json.dumps({"url": url, "status": "200"},
+                                 sort_keys=True)))
+    lines.sort()
+    return "\n".join(f"{k} {ts} {blob}" for k, ts, blob in lines).encode()
+
+
+def cdx_index(sf_dir: str):
+    """documents → CDX-J shard per doc → parsed index rows."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, keys, tss, urls = [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            for row in parse_cdxj(synth_cdxj(d)):
+                ids.append(d)
+                keys.append(row["urlkey"])
+                tss.append(row["ts"])
+                urls.append(row["url"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "urlkey": pa.array(keys, pa.string()),
+            "ts": pa.array(tss, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+def sql_cdx_index() -> str:
+    k = "CAST(doc_id % 50 AS VARCHAR)"
+    i = "CAST(doc_id AS VARCHAR)"
+    url = (
+        "CASE v WHEN 0 THEN 'https://WWW.Example' || {k} || '.COM:443/Path'"
+        " || {i} || '/?utm_source=feed&b=2&a=1#frag' "
+        "WHEN 1 THEN 'https://www.example' || {k} || '.com/Path' || {i}"
+        " || '/?a=1&b=2' "
+        "ELSE 'http://example' || {k} || '.com:80/other' || {i} END"
+    ).format(k=k, i=i)
+    urlkey = (
+        "CASE v WHEN 2 THEN 'com,example' || {k} || ')/other' || {i} "
+        "ELSE 'com,example' || {k} || ')/Path' || {i} || "
+        "'/?' || (CASE v WHEN 0 THEN 'a=1&b=2&utm_source=feed' "
+        "ELSE 'a=1&b=2' END) END"
+    ).format(k=k, i=i)
+    return f"""
+WITH variants AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(v))
+SELECT doc_id, {urlkey} AS urlkey,
+       CAST(20240101000000 + v AS BIGINT) AS ts,
+       {url} AS url
+FROM documents CROSS JOIN variants
+"""

@@ -206,3 +206,59 @@ def test_pagerank_mass_is_conserved_up_to_floor_loss(ray_session):
         ranks = dict(zip(df["node"], df["rank"]))
         vals = {ranks[z] for z in zero_in}
         assert len(vals) == 1  # all zero-in-degree nodes identical
+
+
+# --- WET / CDX-J / main-content (round-4 crawl tier) -------------------------
+
+def test_wet_conversion_records_only_and_layouts():
+    for d in (6, 7):  # gzip-member chain vs plain
+        rows = warc.wet_conversions_to_rows(warc.synth_wet(d, "body"))
+        assert [r["uri"] for r in rows] == [
+            f"https://crawl.test/doc/{d}", f"https://crawl.test/doc/{d}/p2"]
+        assert rows[0]["text"] == f"Doc {d}\nbody"
+        assert rows[0]["refers_to"] == f"<urn:uuid:{d:032d}>"
+        assert rows[1]["refers_to"] == ""
+    assert warc.synth_wet(6, "b") == warc.synth_wet(6, "b")
+
+
+def test_surt_key_normalization():
+    k = warc.surt_key
+    assert k("https://WWW.Example.COM:443/Path/?b=2&a=1") == \
+        "com,example)/Path/?a=1&b=2"
+    assert k("http://example.com:80/x") == "com,example)/x"
+    assert k("http://example.com:8080/x") == "com,example:8080)/x"
+    assert k("https://a.b.c.example.org/") == "org,example,c,b,a)/"
+    assert k("https://example.com/p?") == "com,example)/p"  # empty query
+
+
+def test_cdxj_roundtrip_sorted_by_surt():
+    rows = warc.parse_cdxj(warc.synth_cdxj(9))
+    keys = [r["urlkey"] for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["status"] == "200" for r in rows)
+    assert {r["ts"] for r in rows} <= {20240101000000 + v for v in range(3)}
+
+
+def test_main_content_strips_chrome_keeps_article():
+    from jimmy_ray.html.maincontent import (
+        main_content_markdown, synth_chrome_page)
+
+    md = main_content_markdown(synth_chrome_page(3, "hello world"))
+    assert md.startswith("# Doc 3")
+    assert "hello world" in md and "ref 3" in md
+    for chrome in ("Home", "About", "SiteName", "alpha", "related links",
+                   "example 3"):
+        assert chrome not in md
+
+
+def test_main_content_link_density_threshold():
+    from jimmy_ray.html.maincontent import main_content_markdown
+
+    nav_like = ("<html><body><div><a href='/a'>aaaa</a> <a href='/b'>bbbb"
+                "</a></div><p>kept paragraph of plain prose</p></body></html>")
+    md = main_content_markdown(nav_like)
+    assert "kept paragraph" in md and "aaaa" not in md
+    # below-threshold link density survives
+    mixed = ("<html><body><div>lots of ordinary text around "
+             "<a href='/x'>tiny</a> link</div></body></html>")
+    assert "tiny" in main_content_markdown(mixed)
