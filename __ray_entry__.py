@@ -480,6 +480,14 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": lambda sf: __import__(
             "jimmy_ray.sources.warc", fromlist=["x"]
         ).cdx_index(sf),
+        # WAT metadata-envelope sidecar (titles + outlinks per capture)
+        "wat_extract": lambda sf: __import__(
+            "jimmy_ray.sources.warc", fromlist=["x"]
+        ).wat_extract(sf),
+        # WHATWG charset sniff (BOM > http > meta-in-1024 > cp1252) + decode
+        "charset_decode": lambda sf: __import__(
+            "jimmy_ray.scalars.charset", fromlist=["x"]
+        ).charset_decode(sf),
         # main-content extraction (boilerplate removal by link density)
         "main_content_extract": lambda sf: __import__(
             "jimmy_ray.html.maincontent", fromlist=["x"]
@@ -963,6 +971,12 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": __import__(
             "jimmy_ray.sources.warc", fromlist=["x"]
         ).sql_cdx_index(),
+        "wat_extract": __import__(
+            "jimmy_ray.sources.warc", fromlist=["x"]
+        ).sql_wat_extract(),
+        "charset_decode": __import__(
+            "jimmy_ray.scalars.charset", fromlist=["x"]
+        ).sql_charset_decode(),
         "main_content_extract": __import__(
             "jimmy_ray.html.maincontent", fromlist=["x"]
         ).sql_main_content_extract(),

@@ -386,3 +386,110 @@ SELECT doc_id, {urlkey} AS urlkey,
        {url} AS url
 FROM documents CROSS JOIN variants
 """
+
+
+# --- WAT (metadata-envelope records) ------------------------------------------
+
+def wat_links_to_rows(payload: bytes) -> list[dict]:
+    """WAT sidecar files carry ``WARC-Type: metadata`` records whose
+    block is a JSON envelope (the Common Crawl *.warc.wat.gz layout:
+    ``Envelope`` → ``WARC-Header-Metadata`` + ``Payload-Metadata`` →
+    ``HTTP-Response-Metadata`` → ``HTML-Metadata`` → ``Head``/``Links``).
+    One output row per outlink, title carried on every row."""
+    import json
+
+    rows = []
+    for rec in parse_warc(payload):
+        if rec["headers"].get("warc-type") != "metadata":
+            continue
+        env = json.loads(rec["block"].decode("utf-8"))["Envelope"]
+        uri = env["WARC-Header-Metadata"].get("WARC-Target-URI", "")
+        html_meta = (env.get("Payload-Metadata", {})
+                     .get("HTTP-Response-Metadata", {})
+                     .get("HTML-Metadata", {}))
+        title = html_meta.get("Head", {}).get("Title", "")
+        for link in html_meta.get("Links", []):
+            rows.append({"uri": uri, "title": title,
+                         "path": link.get("path", ""),
+                         "link_url": link.get("url", "")})
+    return rows
+
+
+def synth_wat(doc_id: int) -> bytes:
+    """warcinfo + one metadata envelope per doc (title + an A@/href and
+    an IMG@/src outlink); even doc_ids use the gzip-member layout."""
+    import json
+
+    i = doc_id
+    uri = f"https://crawl.test/doc/{i}"
+    envelope = {
+        "Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": uri,
+                                     "WARC-Type": "response"},
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": f"Doc {i}"},
+                        "Links": [
+                            {"path": "A@/href",
+                             "url": f"https://example{i % 50}.com/out/{i}"},
+                            {"path": "IMG@/src",
+                             "url": f"https://cdn.test/img/{i}.png"},
+                        ],
+                    }
+                }
+            },
+        }
+    }
+    blob = json.dumps(envelope, sort_keys=True).encode()
+    records = [
+        _record("warcinfo", "", b"software: fixture-wat\r\n"),
+        _record_with("metadata", uri, blob,
+                     extra="Content-Type: application/json\r\n"),
+    ]
+    if doc_id % 2 == 0:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+def wat_extract(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, uris, titles, paths, links = [], [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            for row in wat_links_to_rows(synth_wat(d)):
+                ids.append(d)
+                uris.append(row["uri"])
+                titles.append(row["title"])
+                paths.append(row["path"])
+                links.append(row["link_url"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "uri": pa.array(uris, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "link_url": pa.array(links, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+def sql_wat_extract() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    k = "CAST(doc_id % 50 AS VARCHAR)"
+    return f"""
+SELECT doc_id, 'https://crawl.test/doc/' || {i} AS uri,
+       'Doc ' || {i} AS title, path, link_url FROM (
+  SELECT doc_id, 'A@/href' AS path,
+         'https://example' || {k} || '.com/out/' || {i} AS link_url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'IMG@/src',
+         'https://cdn.test/img/' || {i} || '.png'
+  FROM documents
+)
+"""

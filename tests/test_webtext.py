@@ -262,3 +262,63 @@ def test_main_content_link_density_threshold():
     mixed = ("<html><body><div>lots of ordinary text around "
              "<a href='/x'>tiny</a> link</div></body></html>")
     assert "tiny" in main_content_markdown(mixed)
+
+
+def test_wat_envelope_parse_and_layouts():
+    for d in (6, 7):  # gzip vs plain
+        rows = warc.wat_links_to_rows(warc.synth_wat(d))
+        assert [r["path"] for r in rows] == ["A@/href", "IMG@/src"]
+        assert rows[0]["title"] == f"Doc {d}"
+        assert rows[0]["uri"] == f"https://crawl.test/doc/{d}"
+    assert warc.synth_wat(6) == warc.synth_wat(6)
+
+
+# --- charset sniffing (scalars/charset.py) -----------------------------------
+
+from jimmy_ray.scalars import charset as cs
+
+
+def test_charset_precedence_bom_beats_lying_meta():
+    body = b"\xff\xfe" + '<meta charset="utf-8">x'.encode("utf-16-le")
+    assert cs.sniff_charset("text/html", body) == ("utf-16-le", "bom")
+    assert cs.sniff_charset(
+        "text/html; charset=utf-8",
+        b"\xef\xbb\xbfhi") == ("utf-8", "bom")
+
+
+def test_charset_http_beats_meta_and_label_mapping():
+    body = b'<meta charset="utf-8"><p>x</p>'
+    assert cs.sniff_charset("text/html; charset=ISO-8859-1", body) == \
+        ("windows-1252", "http")
+    # unknown http label falls through to the meta declaration
+    assert cs.sniff_charset("text/html; charset=klingon", body) == \
+        ("utf-8", "meta")
+    assert cs.normalize_label("Latin1") == "windows-1252"
+    assert cs.normalize_label("UTF8") == "utf-8"
+    assert cs.normalize_label("nope") is None
+
+
+def test_charset_meta_prescan_window_cutoff():
+    pad = b"<!-- " + b"x" * cs.PRESCAN_WINDOW + b" -->"
+    body = pad + b'<meta charset="utf-8">'
+    assert cs.sniff_charset("text/html", body) == ("windows-1252", "default")
+    assert cs.sniff_charset("text/html", body[len(pad):]) == ("utf-8", "meta")
+
+
+def test_charset_decode_strips_bom_and_maps_euro():
+    text, codec, src = cs.decode_html("text/html", b"\xef\xbb\xbfabc")
+    assert (text, codec, src) == ("abc", "utf-8", "bom")
+    # 0x80 is the euro sign in cp1252 (undefined in true latin-1)
+    text, codec, _ = cs.decode_html(
+        "text/html; charset=iso-8859-1", b"\x80")
+    assert text == "€" and codec == "windows-1252"
+
+
+def test_charset_variants_match_goldens():
+    from jimmy_ray.html.extract import html_to_markdown
+
+    for v in range(cs.N_CHARSET_VARIANTS):
+        ct, body = cs.synth_charset_page(5, "hello", v)
+        text, codec, src = cs.decode_html(ct, body)
+        assert html_to_markdown(text) == \
+            cs.CHARSET_GOLDEN_TEMPLATES[v].format(id=5, text="hello")
