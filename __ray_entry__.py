@@ -492,6 +492,15 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "main_content_extract": lambda sf: __import__(
             "jimmy_ray.html.maincontent", fromlist=["x"]
         ).main_content_extract(sf),
+        # C4 cleaning rules (line terminal-punct/word-count/javascript,
+        # page lorem/brace/min-sentences)
+        "c4_filters": lambda sf: __import__(
+            "jimmy_ray.functions.c4", fromlist=["x"]
+        ).c4_filters(sf),
+        # C4 three-sentence-span dedup (first occurrence wins)
+        "span_dedup": lambda sf: __import__(
+            "jimmy_ray.functions.c4", fromlist=["x"]
+        ).span_dedup(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -980,6 +989,12 @@ def oracle_sql() -> dict[str, str]:
         "main_content_extract": __import__(
             "jimmy_ray.html.maincontent", fromlist=["x"]
         ).sql_main_content_extract(),
+        "c4_filters": __import__(
+            "jimmy_ray.functions.c4", fromlist=["x"]
+        ).sql_c4_filters(),
+        "span_dedup": __import__(
+            "jimmy_ray.functions.c4", fromlist=["x"]
+        ).sql_span_dedup(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

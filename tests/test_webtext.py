@@ -322,3 +322,57 @@ def test_charset_variants_match_goldens():
         text, codec, src = cs.decode_html(ct, body)
         assert html_to_markdown(text) == \
             cs.CHARSET_GOLDEN_TEMPLATES[v].format(id=5, text="hello")
+
+
+# --- C4 cleaning (functions/c4.py) -------------------------------------------
+
+from jimmy_ray.functions import c4
+
+
+def test_c4_line_rules():
+    assert c4.c4_line_keep("Five words ending in period.")
+    assert c4.c4_line_keep('He said "quote words here now."')
+    assert not c4.c4_line_keep("no terminal punctuation here at all")
+    assert not c4.c4_line_keep("Too short.")
+    assert not c4.c4_line_keep("Please enable JavaScript to continue now.")
+
+
+def test_c4_page_rules():
+    good = ["A b c d e.", "F g h i j.", "K l m n o."]
+    assert c4.c4_page_keep("x", good)
+    assert not c4.c4_page_keep("x", good[:2])          # < 3 sentences
+    assert not c4.c4_page_keep("has Lorem Ipsum", good)
+    assert not c4.c4_page_keep("code { brace }", good)
+    # clean_page returns None on drop, joined survivors otherwise
+    assert c4.c4_clean_page("short\n" + "\n".join(good)) == "\n".join(good)
+    assert c4.c4_clean_page("\n".join(good[:2])) is None
+
+
+def test_span_dedup_kernel_overlapping_and_indoc_repeats(ray_session):
+    """Overlapping duplicate windows union their removals; a window
+    repeated INSIDE one doc keeps only the first occurrence — branches
+    the fixture never synthesizes."""
+    import pandas as pd
+
+    # emulate the removals fold on a hand-crafted span group
+    g = pd.DataFrame({
+        "span": ["s", "s", "s", "t"],
+        "doc_id": [2, 1, 1, 9],
+        "pos": [0, 4, 1, 0],
+    })
+    g = g.sort_values(["span", "doc_id", "pos"], kind="mergesort")
+    dup = g.duplicated("span", keep="first")
+    out = g.loc[dup, ["doc_id", "pos"]]
+    # first occurrence of "s" is (1,1); (1,4) and (2,0) are removed
+    assert sorted(map(tuple, out.to_numpy())) == [(1, 4), (2, 0)]
+
+
+def test_span_dedup_group_owner_keeps_shared_triple(ray_session):
+    df = c4.span_dedup("/root/testdata/sf0.001").to_pandas()
+    owners = {}
+    for d in sorted(df["doc_id"]):
+        owners.setdefault(d % c4.N_SENT_GROUPS, d)
+    for _, row in df.iterrows():
+        is_owner = owners[row["doc_id"] % c4.N_SENT_GROUPS] == row["doc_id"]
+        assert ("Shared intro" in row["text"]) == is_owner
+        assert f"Alpha body sentence {row['doc_id']}" in row["text"]
