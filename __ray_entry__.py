@@ -501,6 +501,14 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": lambda sf: __import__(
             "jimmy_ray.functions.c4", fromlist=["x"]
         ).span_dedup(sf),
+        # per-target inlink anchor rollup (top anchor by frequency)
+        "anchor_text_agg": lambda sf: __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).anchor_text_agg(sf),
+        # redirect-chain resolution by pointer doubling (log rounds)
+        "redirect_resolve": lambda sf: __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).redirect_resolve(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -995,6 +1003,12 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": __import__(
             "jimmy_ray.functions.c4", fromlist=["x"]
         ).sql_span_dedup(),
+        "anchor_text_agg": __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).sql_anchor_text_agg(),
+        "redirect_resolve": __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).sql_redirect_resolve(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

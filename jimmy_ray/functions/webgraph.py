@@ -248,3 +248,201 @@ def sql_pagerank(n_iter: int = N_ITER) -> str:
         )
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM pr{n_iter}")
+
+
+# --- anchor-text aggregation --------------------------------------------------
+
+ANCHOR_MOD = 97      # inlink target of doc d = d % ANCHOR_MOD
+
+
+def synth_anchors(doc_id: int) -> list[tuple[int, str]]:
+    """(target, anchor) inlink rows contributed by one source page:
+    the site's brand anchor twice plus one generic anchor that varies
+    by source parity — so every target sees 3 distinct anchor strings
+    with the brand anchor strictly most frequent."""
+    t = doc_id % ANCHOR_MOD
+    generic = "click here" if doc_id % 2 == 0 else "read more"
+    return [(t, f"brand {t}"), (t, f"brand {t}"), (t, generic)]
+
+
+def anchor_text_agg(sf_dir: str):
+    """Per-target inlink anchor rollup: n_inlinks, distinct anchors,
+    and the most-frequent anchor (ties break lexicographically) — the
+    classic target-description signal search/quality pipelines build.
+
+    Scale shape: explode anchors map-side with per-batch (target,
+    anchor) pre-counts, then ONE coarse-bucket exchange and a local
+    pandas fold per bucket (targets are high-cardinality — the
+    functions/dedup.py pattern, not groupby().aggregate()).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d in batch["doc_id"].to_pylist():
+            rows.extend(synth_anchors(d))
+        df = pd.DataFrame(rows, columns=["target", "anchor"])
+        out = df.groupby(["target", "anchor"], as_index=False).size()
+        out.columns = ["target", "anchor", "n"]
+        out["__b"] = (out["target"].to_numpy() % 64).astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["target", "anchor"], as_index=False)["n"].sum()
+        c = c.sort_values(["target", "n", "anchor"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.drop_duplicates("target", keep="first")
+        agg = c.groupby("target").agg(
+            n_inlinks=("n", "sum"), n_anchors=("anchor", "size")
+        ).reset_index()
+        out = agg.merge(top[["target", "anchor"]], on="target")
+        out.columns = ["target", "n_inlinks", "n_anchors", "top_anchor"]
+        return out
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=4096)
+            .groupby("__b")
+            .map_groups(fold, batch_format="pandas")
+            .select_columns(["target", "n_inlinks", "n_anchors",
+                             "top_anchor"]))
+
+
+def sql_anchor_text_agg() -> str:
+    """General ranked aggregation in SQL over the same synthesized
+    anchor table — independent recomputation, not fixture shortcuts."""
+    t = f"doc_id % {ANCHOR_MOD}"
+    return f"""
+WITH anchors AS (
+  SELECT {t} AS target, 'brand ' || CAST({t} AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT {t}, 'brand ' || CAST({t} AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT {t}, CASE WHEN doc_id % 2 = 0 THEN 'click here'
+                   ELSE 'read more' END
+  FROM documents
+), counts AS (
+  SELECT target, anchor, count(*) AS n FROM anchors GROUP BY 1, 2
+), ranked AS (
+  SELECT target, anchor, n,
+         row_number() OVER (PARTITION BY target
+                            ORDER BY n DESC, anchor) AS rn
+  FROM counts
+)
+SELECT c.target, CAST(sum(c.n) AS BIGINT) AS n_inlinks,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       any_value(r.anchor) AS top_anchor
+FROM counts c JOIN ranked r ON r.target = c.target AND r.rn = 1
+GROUP BY c.target
+"""
+
+
+# --- redirect-chain resolution -------------------------------------------------
+
+MAX_CHAIN = 3        # chain length of doc d = d % (MAX_CHAIN + 1)
+
+
+def synth_redirects(doc_id: int) -> tuple[list[str], list[tuple[str, str]]]:
+    """(chain urls, redirect edges) for one doc: hop0 -> ... -> hopL
+    where L = doc_id % (MAX_CHAIN+1); hopL is the terminal (200)."""
+    length = doc_id % (MAX_CHAIN + 1)
+    urls = [f"https://r.test/{doc_id}/hop{j}" for j in range(length + 1)]
+    return urls, list(zip(urls, urls[1:]))
+
+
+def redirect_resolve(sf_dir: str, num_partitions: int = 8):
+    """Resolve every url to its final (non-redirecting) target + hop
+    count by POINTER DOUBLING over the redirect map: compose the jump
+    table with itself ceil(log2(MAX_CHAIN)) times, then one hash join
+    from the url table.  O(log chain-length) exchanges — chains of a
+    million hops cost 20 rounds, never a driver-side walk.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def url_rows(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch["doc_id"].to_pylist():
+            urls.extend(synth_redirects(d)[0])
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for d in batch["doc_id"].to_pylist():
+            for s, t in synth_redirects(d)[1]:
+                src.append(s)
+                dst.append(t)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string()),
+                         "steps": pa.array([1] * len(src), pa.int64())})
+
+    urls = docs.map_batches(url_rows, batch_format="pyarrow",
+                            batch_size=4096)
+    jump = docs.map_batches(edge_rows, batch_format="pyarrow",
+                            batch_size=4096)
+
+    # clamp join partitions to the edge count (the connected-components
+    # lesson: 8-way hash joins over a few hundred rows thrash workers)
+    n_edges = _n_docs(sf_dir) * MAX_CHAIN // 2
+    num_partitions = max(1, min(num_partitions, n_edges // 4096 + 1))
+
+    rounds = max(1, int(np.ceil(np.log2(max(MAX_CHAIN, 2)))))
+    for _ in range(rounds):
+        hop = (jump.select_columns(["src", "dst", "steps"])
+               .rename_columns({"src": "src2", "dst": "dst2",
+                                "steps": "steps2"}))
+        jump = jump.join(hop, join_type="left_outer",
+                         num_partitions=num_partitions,
+                         on=("dst",), right_on=("src2",))
+
+        def compose(batch: pd.DataFrame) -> pa.Table:
+            hit = batch["dst2"].notna()
+            batch.loc[hit, "dst"] = batch.loc[hit, "dst2"]
+            batch.loc[hit, "steps"] = (batch.loc[hit, "steps"]
+                                       + batch.loc[hit, "steps2"])
+            # arrow out: rename_columns projects on arrow blocks only,
+            # and the NaN-padded steps2 add upcasts steps to float
+            return pa.table({
+                "src": pa.array(batch["src"], pa.string()),
+                "dst": pa.array(batch["dst"], pa.string()),
+                "steps": pa.array(batch["steps"].astype("int64"),
+                                  pa.int64()),
+            })
+
+        jump = jump.map_batches(compose, batch_format="pandas")
+
+    resolved = urls.join(jump, join_type="left_outer",
+                         num_partitions=num_partitions,
+                         on=("url",), right_on=("src",))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        miss = batch["dst"].isna()
+        batch.loc[miss, "dst"] = batch.loc[miss, "url"]
+        batch.loc[miss, "steps"] = 0
+        return pd.DataFrame({"url": batch["url"],
+                             "final_url": batch["dst"],
+                             "hops": batch["steps"].astype("int64")})
+
+    return resolved.map_batches(finish, batch_format="pandas")
+
+
+def sql_redirect_resolve() -> str:
+    chain = f"doc_id % {MAX_CHAIN + 1}"
+    u = (f"'https://r.test/' || CAST(doc_id AS VARCHAR) || '/hop'"
+         f" || CAST(v AS VARCHAR)")
+    fin = (f"'https://r.test/' || CAST(doc_id AS VARCHAR) || '/hop'"
+           f" || CAST({chain} AS VARCHAR)")
+    return f"""
+WITH hops AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(v))
+SELECT {u} AS url, {fin} AS final_url,
+       CAST({chain} - v AS BIGINT) AS hops
+FROM documents CROSS JOIN hops
+WHERE v <= {chain}
+"""

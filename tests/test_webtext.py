@@ -376,3 +376,37 @@ def test_span_dedup_group_owner_keeps_shared_triple(ray_session):
         is_owner = owners[row["doc_id"] % c4.N_SENT_GROUPS] == row["doc_id"]
         assert ("Shared intro" in row["text"]) == is_owner
         assert f"Alpha body sentence {row['doc_id']}" in row["text"]
+
+
+# --- anchor aggregation / redirect resolution (functions/webgraph.py) --------
+
+def test_anchor_agg_top_anchor_is_brand(ray_session):
+    from jimmy_ray.functions import webgraph as wg
+
+    df = wg.anchor_text_agg("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == wg.ANCHOR_MOD
+    for _, r in df.iterrows():
+        assert r["top_anchor"] == f"brand {r['target']}"
+        assert r["n_anchors"] == 3          # brand + click here + read more
+        assert r["n_inlinks"] % 3 == 0      # 3 inlink rows per source doc
+
+
+def test_redirect_pointer_doubling_covers_max_chain(ray_session):
+    """log2 rounds of composition must reach 2**rounds >= MAX_CHAIN."""
+    import numpy as np
+
+    from jimmy_ray.functions import webgraph as wg
+
+    rounds = max(1, int(np.ceil(np.log2(max(wg.MAX_CHAIN, 2)))))
+    assert 2 ** rounds >= wg.MAX_CHAIN
+    df = wg.redirect_resolve("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == sum((d % (wg.MAX_CHAIN + 1)) + 1 for d in range(500))
+    # terminal urls resolve to themselves with 0 hops
+    terminals = df[df["hops"] == 0]
+    assert (terminals["url"] == terminals["final_url"]).all()
+    # the longest chains resolve across all MAX_CHAIN hops
+    longest = df[df["hops"] == wg.MAX_CHAIN]
+    assert len(longest) > 0
+    for _, r in longest.iterrows():
+        assert r["url"].endswith("hop0")
+        assert r["final_url"].endswith(f"hop{wg.MAX_CHAIN}")
