@@ -41,6 +41,12 @@ _POINTS_CTE = (
     f"  FROM documents CROSS JOIN variants WHERE {synth.sql_has_geo()}\n"
     f")"
 )
+_POINTS_LANG_CTE = (
+    f"WITH {synth.SQL_VARIANTS_CTE}, pts AS (\n"
+    f"  SELECT lang, {_LAT_SQL} AS lat_e6, {_LON_SQL} AS lon_e6\n"
+    f"  FROM documents CROSS JOIN variants WHERE {synth.sql_has_geo()}\n"
+    f")"
+)
 
 
 def entry() -> Any:
@@ -509,6 +515,14 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": lambda sf: __import__(
             "jimmy_ray.functions.webgraph", fromlist=["x"]
         ).redirect_resolve(sf),
+        # per-url recrawl churn (lag-window over captures by ts)
+        "snapshot_drift": lambda sf: __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).snapshot_drift(sf),
+        # per-tile language rollup (geo x webtext composition)
+        "tile_language_mix": lambda sf: __import__(
+            "jimmy_ray.stages.geoagg", fromlist=["x"]
+        ).tile_language_mix(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1009,6 +1023,12 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": __import__(
             "jimmy_ray.functions.webgraph", fromlist=["x"]
         ).sql_redirect_resolve(),
+        "snapshot_drift": __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).sql_snapshot_drift(),
+        "tile_language_mix": __import__(
+            "jimmy_ray.stages.geoagg", fromlist=["x"]
+        ).sql_tile_language_mix(_POINTS_LANG_CTE),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

@@ -358,3 +358,97 @@ SELECT 'example' || {k} || '.com' AS domain,
 FROM documents CROSS JOIN variants
 GROUP BY domain
 """
+
+
+# --- snapshot content drift ---------------------------------------------------
+
+CONTENT_MOD = 3
+
+
+def snapshot_rev(doc_id: int, variant: int, snap: int) -> int:
+    """Content revision id of one capture — the key%3 factor makes a
+    third of the urls never change and the quadratic term makes the
+    rest repeat one consecutive capture, so n_changes varies."""
+    key = doc_id * N_URL_VARIANTS + variant
+    return (key * 13 + (key % 3) * snap * snap) % CONTENT_MOD
+
+
+def snapshot_drift(sf_dir: str):
+    """Per-url recrawl churn: captures ordered by timestamp, count the
+    content CHANGES between consecutive snapshots (the lag-window shape:
+    crawl scheduling uses it to set refetch intervals).
+
+    Scale shape: capture rows explode map-side, then ONE coarse
+    url-hash-bucket exchange with a local sort+shift fold per bucket —
+    a url's captures are tiny, so the per-key window never needs a
+    distributed sort, only co-location (the same pattern as url_dedup).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def caps(batch: pa.Table) -> "pd.DataFrame":
+        rows = []
+        for d in batch["doc_id"].to_pylist():
+            for v in range(N_URL_VARIANTS):
+                u = synth_url(d, v)
+                for s in range(N_SNAPSHOTS):
+                    rows.append((u, snapshot_ts_s(d, v, s),
+                                 snapshot_rev(d, v, s)))
+        df = pd.DataFrame(rows, columns=["url", "ts_s", "rev"])
+        df["__b"] = (pd.util.hash_array(df["url"].to_numpy(dtype=object))
+                     % 64).astype("int64")
+        return df
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["url", "ts_s"], kind="mergesort")
+        changed = (g["rev"] != g.groupby("url")["rev"].shift()) \
+            & g.groupby("url")["rev"].shift().notna()
+        g = g.assign(chg=changed.astype("int64"))
+        out = g.groupby("url").agg(
+            n_caps=("rev", "size"), n_changes=("chg", "sum"),
+            first_ts_s=("ts_s", "min"), last_ts_s=("ts_s", "max"),
+        ).reset_index()
+        return out
+
+    return (docs.map_batches(caps, batch_format="pyarrow",
+                             batch_size=4096)
+            .groupby("__b")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def sql_snapshot_drift() -> str:
+    key = f"(doc_id * {N_URL_VARIANTS} + v)"
+    url = (
+        "CASE v WHEN 0 THEN 'https://WWW.Example' || CAST(doc_id % 50 AS"
+        " VARCHAR) || '.COM:443/Path' || CAST(doc_id AS VARCHAR)"
+        " || '/?utm_source=feed&b=2&a=1#frag' "
+        "WHEN 1 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.com/Path' || CAST(doc_id AS VARCHAR) || '/?a=1&b=2' "
+        "ELSE 'http://example' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.com:80/other' || CAST(doc_id AS VARCHAR) END"
+    )
+    return f"""
+{_VARIANTS_CTE}, snaps AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(s)),
+caps AS (
+  SELECT {url} AS url,
+         {_SNAP_EPOCH} + ({key} * 997 + s * {_SNAP_STEP}) % {_SNAP_YEAR}
+           AS ts_s,
+         ({key} * 13 + ({key} % 3) * s * s) % {CONTENT_MOD} AS rev
+  FROM documents CROSS JOIN variants CROSS JOIN snaps
+), d AS (
+  SELECT url, ts_s, rev,
+         LAG(rev) OVER (PARTITION BY url ORDER BY ts_s) AS prev
+  FROM caps
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_caps,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND rev <> prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+       CAST(min(ts_s) AS BIGINT) AS first_ts_s,
+       CAST(max(ts_s) AS BIGINT) AS last_ts_s
+FROM d GROUP BY url
+"""

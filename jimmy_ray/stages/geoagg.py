@@ -253,3 +253,85 @@ reach(node, label) AS (
 SELECT node AS cell_id, MIN(label) AS cluster_rep
 FROM reach GROUP BY node
 """
+
+
+# --- per-tile language mix (geo x webtext cross) -----------------------------
+
+def geo_points_lang(sf_dir: str):
+    """Located pages keeping the lang column: (lang, lat_e6, lon_e6)."""
+    from jimmy_ray.pipelines import flagship
+    from jimmy_ray.stages import extract as ex
+
+    def fn(batch: pa.Table) -> pa.Table:
+        has_geo, lat_e6, lon_e6 = ex._parse_geo_heads(
+            ex._decode_heads(batch))
+        mask = pa.array(has_geo)
+        return pa.table({
+            "lang": batch["lang"].filter(mask),
+            "lat_e6": pa.array(lat_e6[has_geo], pa.int64()),
+            "lon_e6": pa.array(lon_e6[has_geo], pa.int64()),
+        })
+
+    return flagship.pages(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=512)
+
+
+def tile_language_mix_from_points(points_lang, zoom: int = 10):
+    """Per-tile language rollup: page count, distinct languages and the
+    dominant language (ties break lexicographically) — the geo x web
+    composition a multilingual corpus map needs.  Shape: per-batch
+    (tile, lang) pre-counts, coalesce, one groupby(tile), local fold."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tiles = geo_core.tile_id(
+            batch["lat_e6"].to_numpy(zero_copy_only=False),
+            batch["lon_e6"].to_numpy(zero_copy_only=False),
+            zoom,
+        )
+        df = pd.DataFrame({"tile": tiles,
+                           "lang": batch["lang"].to_pylist()})
+        out = df.groupby(["tile", "lang"], as_index=False).size()
+        out.columns = ["tile", "lang", "n"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["tile", "lang"], as_index=False)["n"].sum()
+        c = c.sort_values(["tile", "n", "lang"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.drop_duplicates("tile", keep="first")
+        agg = c.groupby("tile").agg(
+            n_pages=("n", "sum"), n_langs=("lang", "size")).reset_index()
+        out = agg.merge(top[["tile", "lang"]], on="tile")
+        out.columns = [f"tile_z{zoom}", "n_pages", "n_langs", "top_lang"]
+        return out
+
+    return (points_lang
+            .map_batches(partial, batch_format="pyarrow", batch_size=32768)
+            .repartition(8)
+            .groupby("tile")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def tile_language_mix(sf_dir: str, zoom: int = 10):
+    return tile_language_mix_from_points(geo_points_lang(sf_dir), zoom)
+
+
+def sql_tile_language_mix(points_lang_cte: str, zoom: int = 10) -> str:
+    tile = geo_core.sql_tile_id("lat_e6", "lon_e6", zoom)
+    return f"""
+{points_lang_cte}, tl AS (
+  SELECT {tile} AS tile, lang, count(*) AS n
+  FROM pts GROUP BY 1, 2
+), ranked AS (
+  SELECT tile, lang, n,
+         row_number() OVER (PARTITION BY tile
+                            ORDER BY n DESC, lang) AS rn
+  FROM tl
+)
+SELECT t.tile AS tile_z{zoom}, CAST(sum(t.n) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       any_value(r.lang) AS top_lang
+FROM tl t JOIN ranked r ON r.tile = t.tile AND r.rn = 1
+GROUP BY t.tile
+"""

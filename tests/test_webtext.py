@@ -410,3 +410,36 @@ def test_redirect_pointer_doubling_covers_max_chain(ray_session):
     for _, r in longest.iterrows():
         assert r["url"].endswith("hop0")
         assert r["final_url"].endswith(f"hop{wg.MAX_CHAIN}")
+
+
+def test_snapshot_drift_window_semantics(ray_session):
+    """n_changes counts consecutive-capture rev changes in ts order —
+    recompute one url's expected value from the synth functions."""
+    from jimmy_ray.functions import webtext as wt
+
+    df = wt.snapshot_drift("/root/testdata/sf0.001").to_pandas()
+    assert (df["n_caps"] == wt.N_SNAPSHOTS).all()
+    assert df["n_changes"].between(0, wt.N_SNAPSHOTS - 1).all()
+    assert df["n_changes"].nunique() > 1  # both change and no-change pairs
+    u = wt.canonicalize_url  # silence unused-import linters
+    d, v = 7, 1
+    url = wt.synth_url(d, v)
+    caps = sorted((wt.snapshot_ts_s(d, v, s), wt.snapshot_rev(d, v, s))
+                  for s in range(wt.N_SNAPSHOTS))
+    expected = sum(1 for (_, a), (_, b) in zip(caps, caps[1:]) if a != b)
+    row = df[df["url"] == url].iloc[0]
+    assert row["n_changes"] == expected
+    assert row["first_ts_s"] == caps[0][0] and row["last_ts_s"] == caps[-1][0]
+
+
+def test_tile_language_mix_totals_match_tile_counts(ray_session):
+    from jimmy_ray.pipelines import flagship
+    from jimmy_ray.stages import geoagg
+
+    sf = "/root/testdata/sf0.001"
+    mix = geoagg.tile_language_mix(sf).to_pandas()
+    counts = flagship.tile_counts(sf).to_pandas()
+    m = mix.set_index("tile_z10")["n_pages"].sort_index()
+    c = counts.set_index("tile_z10")["n_pages"].sort_index()
+    assert m.equals(c)  # language split partitions the tile counts
+    assert (mix["n_langs"] >= 1).all()
