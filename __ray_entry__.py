@@ -72,7 +72,9 @@ def entry() -> Any:
 # onestore_extract, warc_extract, feed_extract, sitemap_extract,
 # url_canonicalize, url_dedup, domain_stats, latest_snapshot,
 # robots_filter, link_graph_degrees, pagerank, wet_extract, cdx_index,
-# main_content_extract (+ re-certify pdf_extract
+# wat_extract, main_content_extract, charset_decode, c4_filters,
+# span_dedup, anchor_text_agg, redirect_resolve, snapshot_drift,
+# tile_language_mix (+ re-certify pdf_extract
 # / signal_extract / affine_extract / anki_extract / sevenzip_extract,
 # whose fixture paths gained encryption/container layers late in
 # round 4), then backfill any CORRECTNESS_r04 misses.
