@@ -525,6 +525,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "tile_language_mix": lambda sf: __import__(
             "jimmy_ray.stages.geoagg", fromlist=["x"]
         ).tile_language_mix(sf),
+        # crawl scheduler: robots x pagerank x churn composition
+        "crawl_schedule": lambda sf: __import__(
+            "jimmy_ray.pipelines.crawl", fromlist=["x"]
+        ).crawl_schedule(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1031,6 +1035,9 @@ def oracle_sql() -> dict[str, str]:
         "tile_language_mix": __import__(
             "jimmy_ray.stages.geoagg", fromlist=["x"]
         ).sql_tile_language_mix(_POINTS_LANG_CTE),
+        "crawl_schedule": __import__(
+            "jimmy_ray.pipelines.crawl", fromlist=["x"]
+        ).sql_crawl_schedule(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

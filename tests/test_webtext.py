@@ -443,3 +443,30 @@ def test_tile_language_mix_totals_match_tile_counts(ray_session):
     c = counts.set_index("tile_z10")["n_pages"].sort_index()
     assert m.equals(c)  # language split partitions the tile counts
     assert (mix["n_langs"] >= 1).all()
+
+
+def test_crawl_schedule_composes_the_three_tiers(ray_session):
+    """Disallowed urls get priority 0; allowed priorities equal
+    rank x (1 + churn) recomputed from the component operators."""
+    from jimmy_ray.functions import webgraph, webtext
+    from jimmy_ray.pipelines import crawl
+
+    sf = "/root/testdata/sf0.001"
+    df = crawl.crawl_schedule(sf).to_pandas()
+    assert len(df) == 500 * webtext.N_URL_VARIANTS
+    assert (df.loc[~df["allowed"], "priority"] == 0).all()
+    assert (df.loc[df["allowed"], "priority"] > 0).all()
+    ranks = dict(zip(*webgraph.pagerank(sf).to_pandas()
+                     [["node", "rank"]].T.values))
+    sample = df[df["allowed"]].head(20)
+    for _, r in sample.iterrows():
+        d = int(r["doc_id"])
+        v = next(v for v in range(webtext.N_URL_VARIANTS)
+                 if webtext.synth_url(d, v) == r["url"])
+        revs = [webtext.snapshot_rev(d, v, s)
+                for s in range(webtext.N_SNAPSHOTS)]
+        order = sorted(range(webtext.N_SNAPSHOTS),
+                       key=lambda s: webtext.snapshot_ts_s(d, v, s))
+        churn = sum(1 for a, b in zip(order, order[1:])
+                    if revs[a] != revs[b])
+        assert r["priority"] == ranks[d] * (1 + churn)
