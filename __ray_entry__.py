@@ -529,6 +529,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": lambda sf: __import__(
             "jimmy_ray.pipelines.crawl", fromlist=["x"]
         ).crawl_schedule(sf),
+        # WARC -> charset -> main-content -> C4 in one streaming chain
+        "crawl_text_pipeline": lambda sf: __import__(
+            "jimmy_ray.pipelines.crawl", fromlist=["x"]
+        ).crawl_text_pipeline(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1038,6 +1042,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule": __import__(
             "jimmy_ray.pipelines.crawl", fromlist=["x"]
         ).sql_crawl_schedule(),
+        "crawl_text_pipeline": __import__(
+            "jimmy_ray.pipelines.crawl", fromlist=["x"]
+        ).sql_crawl_text_pipeline(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

@@ -74,3 +74,119 @@ FROM ({robots.sql_robots_filter()}) u
 JOIN ({webgraph.sql_pagerank()}) pr ON pr.node = u.doc_id
 JOIN ({webtext.sql_snapshot_drift()}) d ON d.url = u.url
 """
+
+
+# --- crawl-to-corpus e2e (WARC -> charset -> main content -> C4) -------------
+
+def synth_crawl_html(doc_id: int, text: str) -> str:
+    """Chrome-wrapped article with one junk paragraph: exercises the
+    main-content kill/density rules AND the C4 line rules at once."""
+    i = doc_id
+    return (
+        "<html><head>{head}</head><body>"
+        '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+        f"<header><h1>SiteName {i}</h1></header>"
+        f'<div class="menu"><a href="/a">alpha {i}</a> '
+        f'<a href="/b">beta {i}</a></div>'
+        f'<div class="content"><h1>Doc {i}</h1>'
+        f"<p>Doc {i}: {text} end of line one.</p>"
+        f"<p>Café quality sentence for doc {i} with plenty of"
+        " words.</p>"
+        f"<p>Third sentence for doc {i} also long enough to keep.</p>"
+        f"<p>no terminal punctuation in this paragraph {i}</p></div>"
+        f"<aside>related {i}</aside><footer>&copy; example {i}</footer>"
+        "</body></html>"
+    )
+
+
+def synth_crawl_warc(doc_id: int, text: str) -> bytes:
+    """One response record per doc, charset variant = doc_id % 4 (the
+    scalars/charset.py detection matrix), gzip-member layout on even
+    doc_ids."""
+    from jimmy_ray.sources import warc
+
+    v = doc_id % 4
+    html = synth_crawl_html(doc_id, text)
+    if v == 0:
+        ct, body = "text/html", html.format(
+            head='<meta charset="utf-8">').encode("utf-8")
+    elif v == 1:
+        ct = "text/html"
+        body = b"\xff\xfe" + html.format(head="").encode("utf-16-le")
+    elif v == 2:
+        ct = "text/html; charset=ISO-8859-1"
+        body = html.format(head="").encode("windows-1252")
+    else:
+        ct, body = "text/html", html.format(head="").encode("windows-1252")
+    http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n").encode() + body
+    records = [
+        warc._record("warcinfo", "", b"software: fixture-crawl\r\n"),
+        warc._record("response", f"https://crawl.test/doc/{doc_id}", http),
+    ]
+    if doc_id % 2 == 0:
+        return b"".join(warc._gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+CRAWL_EXPECT = {0: ("utf-8", "meta"), 1: ("utf-16-le", "bom"),
+                2: ("windows-1252", "http"), 3: ("windows-1252", "default")}
+
+
+def crawl_text_pipeline(sf_dir: str):
+    """The round-4 webtext tiers composed end-to-end as ONE streaming
+    map chain: WARC record parse → HTTP split → charset sniff+decode →
+    main-content extraction → C4 line/page rules.  Stateless per-doc;
+    no exchange — the dedup/scheduling tiers hang off this output."""
+    import ray.data as rd
+
+    from jimmy_ray.functions.c4 import c4_clean_page
+    from jimmy_ray.html.maincontent import main_content_markdown
+    from jimmy_ray.scalars.charset import decode_html
+    from jimmy_ray.sources import warc
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, charsets, srcs, texts = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for rec in warc.parse_warc(synth_crawl_warc(d, t)):
+                if rec["headers"].get("warc-type") != "response":
+                    continue
+                _, http_headers, body = warc.parse_http_response(
+                    rec["block"])
+                decoded, codec, src = decode_html(
+                    http_headers.get("content-type", ""), body)
+                cleaned = c4_clean_page(main_content_markdown(decoded))
+                if cleaned is None:
+                    continue
+                ids.append(d)
+                charsets.append(codec)
+                srcs.append(src)
+                texts.append(cleaned)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "charset": pa.array(charsets, pa.string()),
+            "src": pa.array(srcs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def sql_crawl_text_pipeline() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    charset = ("CASE doc_id % 4 WHEN 1 THEN 'utf-16-le' WHEN 0 THEN"
+               " 'utf-8' ELSE 'windows-1252' END")
+    src = ("CASE doc_id % 4 WHEN 0 THEN 'meta' WHEN 1 THEN 'bom'"
+           " WHEN 2 THEN 'http' ELSE 'default' END")
+    return f"""
+SELECT doc_id, {charset} AS charset, {src} AS src,
+  'Doc ' || {i} || ': ' || text || ' end of line one.' || chr(10) ||
+  'Café quality sentence for doc ' || {i}
+    || ' with plenty of words.' || chr(10) ||
+  'Third sentence for doc ' || {i} || ' also long enough to keep.'
+    AS text
+FROM documents
+"""

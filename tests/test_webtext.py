@@ -470,3 +470,28 @@ def test_crawl_schedule_composes_the_three_tiers(ray_session):
         churn = sum(1 for a, b in zip(order, order[1:])
                     if revs[a] != revs[b])
         assert r["priority"] == ranks[d] * (1 + churn)
+
+
+def test_crawl_text_pipeline_stage_boundaries():
+    """Every intermediate of the e2e chain is checked per charset
+    variant: WARC slice, detection source, chrome removal, C4 drops."""
+    from jimmy_ray.functions.c4 import c4_clean_page
+    from jimmy_ray.html.maincontent import main_content_markdown
+    from jimmy_ray.pipelines import crawl
+    from jimmy_ray.scalars.charset import decode_html
+
+    for d in range(8):
+        payload = crawl.synth_crawl_warc(d, "hello world")
+        recs = [r for r in warc.parse_warc(payload)
+                if r["headers"]["warc-type"] == "response"]
+        assert len(recs) == 1
+        _, hh, body = warc.parse_http_response(recs[0]["block"])
+        decoded, codec, src = decode_html(hh.get("content-type", ""), body)
+        assert (codec, src) == crawl.CRAWL_EXPECT[d % 4]
+        md = main_content_markdown(decoded)
+        assert "SiteName" not in md and "alpha" not in md  # chrome gone
+        assert "no terminal punctuation" in md             # C4's job, not MC's
+        cleaned = c4_clean_page(md)
+        assert cleaned is not None
+        assert "no terminal punctuation" not in cleaned
+        assert "Café quality" in cleaned and cleaned.count("\n") == 2
