@@ -91,6 +91,19 @@ def run_bench() -> dict:
         ex.extract_markdown_batch, batch_format="pyarrow", batch_size=512
     ).count()
 
+    from jimmy_ray.functions.c4 import c4_clean_page
+    from jimmy_ray.html.maincontent import main_content_markdown
+
+    def _warm_mc(batch):
+        import pyarrow as _pa
+
+        for h in batch["html"].to_pylist():
+            c4_clean_page(main_content_markdown(h))
+        return _pa.table({"n": _pa.array([batch.num_rows])})
+
+    rd.read_parquet(pages_dir).limit(20000).map_batches(
+        _warm_mc, batch_format="pyarrow", batch_size=512).count()
+
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
@@ -184,6 +197,23 @@ def run_bench() -> dict:
         stats_over_pages, batch_format="pyarrow", batch_size=8192
     ).count())
 
+    # q10: webtext curation chain over the real html column — main-content
+    # extraction (DOM parse + link-density) then the C4 line/page rules;
+    # the round-4 per-page cleaning path at corpus scale
+    from jimmy_ray.functions.c4 import c4_clean_page
+    from jimmy_ray.html.maincontent import main_content_markdown
+
+    def mc_c4(batch: _pa.Table) -> _pa.Table:
+        kept = 0
+        for h in batch["html"].to_pylist():
+            if c4_clean_page(main_content_markdown(h)) is not None:
+                kept += 1
+        return _pa.table({"kept": _pa.array([kept], _pa.int64())})
+
+    timed("main_content_c4", lambda: pages_ds().map_batches(
+        mc_c4, batch_format="pyarrow", batch_size=512
+    ).count())
+
     ray.shutdown()
 
     headline_sec = timings["spatial_join"] + timings["tile_assign"]
@@ -206,6 +236,8 @@ def run_bench() -> dict:
             "spatial_tile_headline": round(n_pages / headline_sec, 1),
             "dedup_exact": round(n_pages / timings["dedup_exact"], 1),
             "text_stats": round(n_pages / timings["text_stats"], 1),
+            "main_content_c4": round(
+                n_pages / timings["main_content_c4"], 1),
         },
     }
 
