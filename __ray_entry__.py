@@ -533,6 +533,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "crawl_text_pipeline": lambda sf: __import__(
             "jimmy_ray.pipelines.crawl", fromlist=["x"]
         ).crawl_text_pipeline(sf),
+        # host-politeness waves: per-domain top-k ranking (<=4/wave)
+        "fetch_waves": lambda sf: __import__(
+            "jimmy_ray.pipelines.crawl", fromlist=["x"]
+        ).fetch_waves(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1045,6 +1049,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_text_pipeline": __import__(
             "jimmy_ray.pipelines.crawl", fromlist=["x"]
         ).sql_crawl_text_pipeline(),
+        "fetch_waves": __import__(
+            "jimmy_ray.pipelines.crawl", fromlist=["x"]
+        ).sql_fetch_waves(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

@@ -190,3 +190,62 @@ SELECT doc_id, {charset} AS charset, {src} AS src,
     AS text
 FROM documents
 """
+
+
+# --- host-politeness fetch waves ----------------------------------------------
+
+PER_WAVE = 4
+
+
+def fetch_waves(sf_dir: str, per_wave: int = PER_WAVE):
+    """Politeness partitioning: a crawler fetches at most ``per_wave``
+    urls per registrable domain per wave, highest priority first (ties
+    break by url).  Composes crawl_schedule; disallowed urls never
+    enter the frontier.
+
+    Shape: ONE coarse domain-bucket exchange with a local
+    sort+rank+floor-divide fold per bucket — the per-host queue is the
+    in-group top-k pattern, never a global sort.
+    """
+    import pandas as pd
+
+    from jimmy_ray.functions.webtext import registrable_domain
+
+    sched = crawl_schedule(sf_dir)
+
+    def add_domain(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df = df[df["allowed"]].copy()
+        df["domain"] = [registrable_domain(u) for u in df["url"]]
+        df["__b"] = (pd.util.hash_array(df["domain"].to_numpy(dtype=object))
+                     % 64).astype("int64")
+        return df[["url", "domain", "priority", "__b"]]
+
+    def rank_waves(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["domain", "priority", "url"],
+                          ascending=[True, False, True], kind="mergesort")
+        rn = g.groupby("domain").cumcount()
+        g = g.assign(wave=(rn // per_wave).astype("int64"))
+        return g[["url", "domain", "priority", "wave"]]
+
+    return (sched.map_batches(add_domain, batch_format="pyarrow",
+                              batch_size=8192)
+            .groupby("__b")
+            .map_groups(rank_waves, batch_format="pandas"))
+
+
+def sql_fetch_waves(per_wave: int = PER_WAVE) -> str:
+    domain = "'example' || CAST(doc_id % 50 AS VARCHAR) || '.com'"
+    return f"""
+WITH s AS ({sql_crawl_schedule()})
+SELECT url, domain, priority,
+       CAST((rn - 1) // {per_wave} AS BIGINT) AS wave
+FROM (
+  SELECT url, {domain} AS domain, priority,
+         row_number() OVER (PARTITION BY {domain}
+                            ORDER BY priority DESC, url) AS rn
+  FROM s WHERE allowed
+)
+"""

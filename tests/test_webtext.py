@@ -495,3 +495,23 @@ def test_crawl_text_pipeline_stage_boundaries():
         assert cleaned is not None
         assert "no terminal punctuation" not in cleaned
         assert "Café quality" in cleaned and cleaned.count("\n") == 2
+
+
+def test_fetch_waves_politeness_invariants(ray_session):
+    from jimmy_ray.pipelines import crawl
+
+    df = crawl.fetch_waves("/root/testdata/sf0.001").to_pandas()
+    per_dom = df.groupby("domain")
+    # at most PER_WAVE urls per (domain, wave); waves fill in order
+    sizes = df.groupby(["domain", "wave"]).size()
+    assert (sizes <= crawl.PER_WAVE).all()
+    for dom, g in per_dom:
+        waves = sorted(g["wave"].unique())
+        assert waves == list(range(len(waves)))
+        full = g["wave"].value_counts()
+        for w in waves[:-1]:
+            assert full[w] == crawl.PER_WAVE  # earlier waves are full
+        # priority never increases across waves
+        assert (g.sort_values(["wave", "priority", "url"],
+                              ascending=[True, False, True])
+                 .groupby("wave")["priority"].max().is_monotonic_decreasing)
