@@ -74,7 +74,8 @@ def entry() -> Any:
 # robots_filter, link_graph_degrees, pagerank, wet_extract, cdx_index,
 # wat_extract, main_content_extract, charset_decode, c4_filters,
 # span_dedup, anchor_text_agg, redirect_resolve, snapshot_drift,
-# tile_language_mix (+ re-certify pdf_extract
+# tile_language_mix, crawl_schedule, crawl_text_pipeline, fetch_waves
+# (+ re-certify pdf_extract
 # / signal_extract / affine_extract / anki_extract / sevenzip_extract,
 # whose fixture paths gained encryption/container layers late in
 # round 4), then backfill any CORRECTNESS_r04 misses.
