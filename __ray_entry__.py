@@ -74,8 +74,8 @@ def entry() -> Any:
 # robots_filter, link_graph_degrees, pagerank, wet_extract, cdx_index,
 # wat_extract, main_content_extract, charset_decode, c4_filters,
 # span_dedup, anchor_text_agg, redirect_resolve, snapshot_drift,
-# tile_language_mix, crawl_schedule, crawl_text_pipeline, fetch_waves
-# (+ re-certify pdf_extract
+# tile_language_mix, crawl_schedule, crawl_text_pipeline, fetch_waves,
+# normalize_corpus (+ re-certify pdf_extract
 # / signal_extract / affine_extract / anki_extract / sevenzip_extract,
 # whose fixture paths gained encryption/container layers late in
 # round 4), then backfill any CORRECTNESS_r04 misses.
@@ -538,6 +538,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "fetch_waves": lambda sf: __import__(
             "jimmy_ray.pipelines.crawl", fromlist=["x"]
         ).fetch_waves(sf),
+        # unicode cleanup: NFC + control strip + whitespace collapse
+        "normalize_corpus": lambda sf: __import__(
+            "jimmy_ray.scalars.charset", fromlist=["x"]
+        ).normalize_corpus(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1053,6 +1057,9 @@ def oracle_sql() -> dict[str, str]:
         "fetch_waves": __import__(
             "jimmy_ray.pipelines.crawl", fromlist=["x"]
         ).sql_fetch_waves(),
+        "normalize_corpus": __import__(
+            "jimmy_ray.scalars.charset", fromlist=["x"]
+        ).sql_normalize_corpus(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

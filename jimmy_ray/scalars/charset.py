@@ -155,3 +155,80 @@ def sql_charset_decode() -> str:
         f"{sql_golden(CHARSET_GOLDEN_TEMPLATES[v])} AS text FROM documents"
         for v in range(N_CHARSET_VARIANTS))
     return f"SELECT * FROM (\n  {arms}\n)"
+
+
+# --- post-decode unicode normalization ----------------------------------------
+
+import unicodedata as _ud  # noqa: E402
+
+# C0 (minus \t\n) + DEL + C1: the control range corpus cleanup deletes
+_CTRL_RE = re.compile(
+    "[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+_MULTISPACE_RE = re.compile(" +")
+
+
+def normalize_text(text: str) -> str:
+    """The standard corpus text-cleanup pipeline, in a fixed order:
+    NFC normalization -> delete control chars (keep \\n and \\t) ->
+    tabs to spaces -> collapse space runs -> strip the (single,
+    post-collapse) space at line ends.  Every step is mirrored in
+    DuckDB (nfc_normalize + RE2, which has no lookaheads — hence the
+    plain-replace formulation), so the oracle is an independent second
+    NFC implementation."""
+    t = _ud.normalize("NFC", text)
+    t = _CTRL_RE.sub("", t)
+    t = t.replace("\t", " ")
+    t = _MULTISPACE_RE.sub(" ", t)
+    t = t.replace(" \n", "\n")
+    return t[:-1] if t.endswith(" ") else t
+
+
+def synth_messy_text(doc_id: int, text: str) -> str:
+    """A precomposed accent, a BEL, a C1 NEL, a tab and space runs
+    (the SQL raw expression builds e+U+0301 instead; NFC composes
+    both to the same codepoint)."""
+    i = doc_id
+    return (f"Café {i}:\t{text}\x07   extra  spaces \n"
+            f"line\x85 two {i}  ")
+
+
+def normalize_corpus(sf_dir: str):
+    """documents -> messy unicode -> normalize_text (stateless map)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = [normalize_text(synth_messy_text(d, t))
+                 for d, t in zip(batch["doc_id"].to_pylist(),
+                                 batch["text"].to_pylist())]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(texts, pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def sql_normalize_corpus() -> str:
+    """The SAME pipeline applied by DuckDB to the SAME messy input,
+    NFC included — an independent second implementation, not a
+    precomputed golden."""
+    i = "CAST(doc_id AS VARCHAR)"
+    raw = (f"'Cafe' || chr(769) || ' ' || {i} || ':' || chr(9) || text"
+           f" || chr(7) || '   extra  spaces ' || chr(10) || 'line'"
+           f" || chr(133) || ' two ' || {i} || '  '")
+    ctrl = r"[\x{0000}-\x{0008}\x{000B}-\x{001F}\x{007F}-\x{009F}]"
+    return f"""
+SELECT doc_id,
+  CASE WHEN cleaned LIKE '% ' THEN substr(cleaned, 1, length(cleaned) - 1)
+       ELSE cleaned END AS text
+FROM (
+  SELECT doc_id, replace(regexp_replace(replace(regexp_replace(
+           nfc_normalize({raw}),
+           '{ctrl}', '', 'g'),
+           chr(9), ' '),
+           ' +', ' ', 'g'),
+           ' ' || chr(10), chr(10)) AS cleaned
+  FROM documents
+)
+"""

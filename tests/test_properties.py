@@ -256,3 +256,85 @@ def test_local_range_matches_brute_force(data):
         "event_id", "user_id", "ts_us", "n_orders", "min_orderkey"
     ]).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --- webtext scalar kernels (round 4) ----------------------------------------
+
+from jimmy_ray.functions import c4 as c4_mod
+from jimmy_ray.functions import webtext as wt_mod
+from jimmy_ray.scalars import charset as cs_mod
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_normalize_text_idempotent_and_clean(text):
+    once = cs_mod.normalize_text(text)
+    assert cs_mod.normalize_text(once) == once       # fixed point
+    assert "\t" not in once and "  " not in once
+    assert not any("\x00" <= c <= "\x08" or "\x0b" <= c <= "\x1f"
+                   or "\x7f" <= c <= "\x9f" for c in once)
+    for line in once.split("\n"):
+        assert not line.endswith(" ")
+
+
+_URLS = st.builds(
+    lambda scheme, host, port, path, q, frag:
+        f"{scheme}://{host}{port}/{path}" + (f"?{q}" if q else "")
+        + (f"#{frag}" if frag else ""),
+    st.sampled_from(["http", "https", "HTTP", "Https"]),
+    st.from_regex(r"[A-Za-z0-9][A-Za-z0-9.-]{0,20}[A-Za-z0-9]",
+                  fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(r"[A-Za-z0-9/_.~-]{0,24}", fullmatch=True),
+    st.from_regex(r"([a-z0-9_]{1,8}=[a-z0-9]{0,6}&?){0,3}", fullmatch=True),
+    st.from_regex(r"[a-z0-9]{0,8}", fullmatch=True),
+)
+
+
+@given(_URLS)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_url_idempotent(url):
+    once = wt_mod.canonicalize_url(url)
+    assert wt_mod.canonicalize_url(once) == once
+    assert "#" not in once                      # fragment gone
+    scheme, _, rest = once.partition("://")
+    assert scheme == scheme.lower()
+    host = rest.split("/", 1)[0]
+    # default port for the SCHEME is stripped; cross-scheme ports stay
+    if scheme == "http":
+        assert not host.endswith(":80")
+    if scheme == "https":
+        assert not host.endswith(":443")
+
+
+@given(_URLS)
+@settings(max_examples=300, deadline=None)
+def test_surt_key_shape(url):
+    from jimmy_ray.sources.warc import surt_key
+
+    key = surt_key(url)
+    assert ")" in key                            # host/path separator
+    hostpart = key.split(")", 1)[0]
+    assert hostpart == hostpart.lower()
+    assert not hostpart.startswith("www,") and ",www" not in hostpart
+    # sorted query params: re-keying the key's own url-ish tail is stable
+    if "?" in key:
+        q = key.rsplit("?", 1)[1]
+        parts = [p for p in q.split("&") if p]
+        assert parts == sorted(parts)
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_characters="\n",
+                           blacklist_categories=("Cs",)),
+    max_size=40), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_c4_clean_page_total_and_sound(lines):
+    page = "\n".join(lines)
+    out = c4_mod.c4_clean_page(page)
+    if out is not None:
+        kept = out.split("\n")
+        assert len(kept) >= c4_mod.MIN_SENTENCES
+        for line in kept:
+            assert c4_mod.c4_line_keep(line)
+            assert line in lines

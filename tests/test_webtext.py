@@ -515,3 +515,29 @@ def test_fetch_waves_politeness_invariants(ray_session):
         assert (g.sort_values(["wave", "priority", "url"],
                               ascending=[True, False, True])
                  .groupby("wave")["priority"].max().is_monotonic_decreasing)
+
+
+def test_normalize_text_pipeline_order_and_scope():
+    """NFC composes decomposed accents; C0/C1 controls die but tab and
+    newline survive their steps; collapse runs after tab mapping."""
+    n = cs.normalize_text
+    assert n("Café") == "Café"            # NFC composition
+    assert n("a\x00b\x07c\x9fd") == "abcd"      # C0 + C1 deleted
+    assert n("a\tb") == "a b"                   # tab -> space
+    assert n("a \t b") == "a b"                 # collapse AFTER tab map
+    assert n("line one   \nline two  ") == "line one\nline two"
+    assert n("keep\nnewlines\n\nintact") == "keep\nnewlines\n\nintact"
+
+
+def test_normalize_matches_duckdb_nfc_independently():
+    """The oracle really recomputes NFC: run the SQL pipeline on a raw
+    string DuckDB builds itself and diff against unicodedata."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS "
+                "SELECT CAST(9 AS BIGINT) AS doc_id, 'x  y' AS text")
+    sql_text = con.execute(cs.sql_normalize_corpus()).fetchone()[1]
+    py_text = cs.normalize_text(cs.synth_messy_text(9, "x  y"))
+    assert sql_text == py_text
+    con.close()
