@@ -542,6 +542,14 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "normalize_corpus": lambda sf: __import__(
             "jimmy_ray.scalars.charset", fromlist=["x"]
         ).normalize_corpus(sf),
+        # inverted index over the REAL text column (term -> postings)
+        "inverted_index": lambda sf: __import__(
+            "jimmy_ray.functions.textindex", fromlist=["x"]
+        ).inverted_index(sf),
+        # per-doc characteristic terms (integer tf/df rank, top 3)
+        "top_terms_per_doc": lambda sf: __import__(
+            "jimmy_ray.functions.textindex", fromlist=["x"]
+        ).top_terms_per_doc(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1060,6 +1068,12 @@ def oracle_sql() -> dict[str, str]:
         "normalize_corpus": __import__(
             "jimmy_ray.scalars.charset", fromlist=["x"]
         ).sql_normalize_corpus(),
+        "inverted_index": __import__(
+            "jimmy_ray.functions.textindex", fromlist=["x"]
+        ).sql_inverted_index(),
+        "top_terms_per_doc": __import__(
+            "jimmy_ray.functions.textindex", fromlist=["x"]
+        ).sql_top_terms_per_doc(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

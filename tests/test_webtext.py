@@ -541,3 +541,54 @@ def test_normalize_matches_duckdb_nfc_independently():
     py_text = cs.normalize_text(cs.synth_messy_text(9, "x  y"))
     assert sql_text == py_text
     con.close()
+
+
+# --- search-index ops over REAL text (functions/textindex.py) ----------------
+
+def test_tokenization_matches_duckdb_re2():
+    import duckdb
+
+    from jimmy_ray.functions.textindex import tokenize
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') LIMIT 100").fetchall()
+    for (t,) in rows:
+        db = [r[0] for r in con.execute(
+            "SELECT unnest(regexp_extract_all(lower(?), '[a-z]+'))",
+            [t]).fetchall()]
+        assert tokenize(t) == db
+    con.close()
+
+
+def test_inverted_index_postings_sorted_and_consistent(ray_session):
+    from jimmy_ray.functions.textindex import inverted_index
+
+    df = inverted_index("/root/testdata/sf0.001").to_pandas()
+    assert df["term"].is_unique
+    for _, r in df.head(50).iterrows():
+        docs = [int(x) for x in r["postings"].split(",")]
+        assert docs == sorted(docs)          # ordered postings
+        assert len(docs) == r["n_docs"]      # df == posting length
+        assert r["total_tf"] >= r["n_docs"]  # tf bounds df
+
+
+def test_top_terms_rank_is_deterministic(ray_session):
+    from jimmy_ray.functions.textindex import TOP_K, tokenize, top_terms_per_doc
+
+    df = top_terms_per_doc("/root/testdata/sf0.001").to_pandas()
+    g = df[df["doc_id"] == 7].sort_values("rank")
+    assert list(g["rank"]) == list(range(1, len(g) + 1))
+    assert len(g) <= TOP_K
+    # recompute doc 7's tf from the raw text and check rank-1 term
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .to_pandas().set_index("doc_id").loc[7, "text"]
+    from collections import Counter
+
+    tf = Counter(tokenize(t))
+    top = g.iloc[0]
+    assert tf[top["term"]] == top["tf"]
+    assert top["tf"] == max(tf.values())
