@@ -550,6 +550,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_doc": lambda sf: __import__(
             "jimmy_ray.functions.textindex", fromlist=["x"]
         ).top_terms_per_doc(sf),
+        # top-k retrieval vs the index (integer idf weight, knn shape)
+        "term_search_topk": lambda sf: __import__(
+            "jimmy_ray.functions.textindex", fromlist=["x"]
+        ).term_search_topk(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1074,6 +1078,9 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_per_doc": __import__(
             "jimmy_ray.functions.textindex", fromlist=["x"]
         ).sql_top_terms_per_doc(),
+        "term_search_topk": __import__(
+            "jimmy_ray.functions.textindex", fromlist=["x"]
+        ).sql_term_search_topk(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

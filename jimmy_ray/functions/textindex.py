@@ -151,3 +151,115 @@ WITH toks AS (
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- term search (top-k retrieval against the index) ---------------------------
+
+# fixed query term sets (the knn-style broadcast query side); scoring
+# works identically for terms absent from the corpus (they add 0)
+SEARCH_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("data", "query"),
+    1: ("batch", "scan"),
+    2: ("slow", "key", "column"),
+    3: ("missing", "zzzunseen"),
+}
+SEARCH_K = 5
+
+
+def search_weight(n_docs_total: int, df: int) -> int:
+    """Integer idf flavor: rarer terms weigh more, floor-divided so the
+    Ray path and the SQL mirror are bit-identical (no float log)."""
+    return n_docs_total // df
+
+
+def term_search_topk(sf_dir: str, k: int = SEARCH_K):
+    """score(q, doc) = Σ_{t∈q} tf(t, doc) × (N // df(t)); top-k docs
+    per query, ties broken by doc_id.  Shape: the df table folds as in
+    the index build, broadcast-joins the per-doc tf rows (query terms
+    prune map-side — only matching rows enter the exchange), then one
+    tiny per-query top-k fold: the text twin of the kNN plan."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n_total = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    all_terms = sorted({t for ts in SEARCH_QUERIES.values() for t in ts})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    doc_tf = docs.map_batches(_doc_term_tf, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def keep_query_terms(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["term"].isin(all_terms)]
+
+    matches = doc_tf.map_batches(keep_query_terms, batch_format="pandas")
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False)["doc_id"].size()
+        out.columns = ["term", "df"]
+        return out
+
+    # query terms are a handful — the df table is tiny, collect+broadcast
+    # (the knn query-side pattern), never a shuffle join
+    df_map = dict(
+        matches.map_batches(_with_term_bucket, batch_format="pandas")
+        .groupby("__b").map_groups(df_fold, batch_format="pandas")
+        .select_columns(["term", "df"]).to_pandas().itertuples(
+            index=False, name=None))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        by_doc: dict[int, dict[str, int]] = {}
+        for d, t, tf in batch[["doc_id", "term", "tf"]].itertuples(
+                index=False, name=None):
+            by_doc.setdefault(int(d), {})[t] = int(tf)
+        for qid, terms in SEARCH_QUERIES.items():
+            for d, tfs in by_doc.items():
+                s = sum(tfs.get(t, 0) * search_weight(n_total, df_map[t])
+                        for t in terms if t in df_map)
+                if s > 0:
+                    rows.append((qid, d, s))
+        return pd.DataFrame(rows, columns=["qid", "doc_id", "score"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["qid", "score", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.assign(rank=(g.groupby("qid").cumcount() + 1).astype("int64"))
+        return g[g["rank"] <= k][["qid", "rank", "doc_id", "score"]]
+
+    return (matches.map_batches(score, batch_format="pandas")
+            .repartition(1)
+            .groupby("qid")
+            .map_groups(topk, batch_format="pandas"))
+
+
+def sql_term_search_topk(k: int = SEARCH_K) -> str:
+    q_values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in sorted(SEARCH_QUERIES.items()) for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), d AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM d GROUP BY term
+), q(qid, term) AS (VALUES {q_values}),
+scores AS (
+  SELECT q.qid, d.doc_id,
+         sum(d.tf * ((SELECT count(*) FROM documents) // f.df)) AS score
+  FROM q JOIN d ON d.term = q.term JOIN dfreq f ON f.term = q.term
+  GROUP BY q.qid, d.doc_id
+  HAVING sum(d.tf * ((SELECT count(*) FROM documents) // f.df)) > 0
+), ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+       doc_id, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= {k}
+"""

@@ -592,3 +592,38 @@ def test_top_terms_rank_is_deterministic(ray_session):
     top = g.iloc[0]
     assert tf[top["term"]] == top["tf"]
     assert top["tf"] == max(tf.values())
+
+
+def test_term_search_scoring_brute_force_equivalence(ray_session):
+    """Recompute one query's full ranking from raw text + Counter."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from jimmy_ray.functions import textindex as ti
+
+    sf = "/root/testdata/sf0.001"
+    df = ti.term_search_topk(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    n = len(docs)
+    tfs = {int(r.doc_id): Counter(ti.tokenize(r.text))
+           for r in docs.itertuples()}
+    dfreq = Counter()
+    for c in tfs.values():
+        dfreq.update(c.keys())
+    for qid, terms in ti.SEARCH_QUERIES.items():
+        scores = {}
+        for d, c in tfs.items():
+            s = sum(c[t] * ti.search_weight(n, dfreq[t])
+                    for t in terms if dfreq[t])
+            if s > 0:
+                scores[d] = s
+        expect = sorted(scores.items(),
+                        key=lambda kv: (-kv[1], kv[0]))[:ti.SEARCH_K]
+        got = df[df["qid"] == qid].sort_values("rank")
+        assert list(zip(got["doc_id"], got["score"])) == expect, qid
+    # the all-unseen-terms query returns nothing
+    unseen_all = [q for q, ts in ti.SEARCH_QUERIES.items()
+                  if all(dfreq[t] == 0 for t in ts)]
+    for q in unseen_all:
+        assert (df["qid"] == q).sum() == 0
