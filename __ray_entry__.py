@@ -47,6 +47,12 @@ _POINTS_LANG_CTE = (
     f"  FROM documents CROSS JOIN variants WHERE {synth.sql_has_geo()}\n"
     f")"
 )
+_POINTS_SOURCE_CTE = (
+    f"WITH {synth.SQL_VARIANTS_CTE}, pts AS (\n"
+    f"  SELECT source, {_LAT_SQL} AS lat_e6, {_LON_SQL} AS lon_e6\n"
+    f"  FROM documents CROSS JOIN variants WHERE {synth.sql_has_geo()}\n"
+    f")"
+)
 
 
 def entry() -> Any:
@@ -555,6 +561,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "term_search_topk": lambda sf: __import__(
             "jimmy_ray.functions.textindex", fromlist=["x"]
         ).term_search_topk(sf),
+        # per-source spatial spread (count, distinct tiles, int bbox)
+        "source_geo_footprint": lambda sf: __import__(
+            "jimmy_ray.stages.geoagg", fromlist=["x"]
+        ).source_geo_footprint(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1082,6 +1092,9 @@ def oracle_sql() -> dict[str, str]:
         "term_search_topk": __import__(
             "jimmy_ray.functions.textindex", fromlist=["x"]
         ).sql_term_search_topk(),
+        "source_geo_footprint": __import__(
+            "jimmy_ray.stages.geoagg", fromlist=["x"]
+        ).sql_source_geo_footprint(_POINTS_SOURCE_CTE),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

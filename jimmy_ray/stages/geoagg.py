@@ -335,3 +335,93 @@ SELECT t.tile AS tile_z{zoom}, CAST(sum(t.n) AS BIGINT) AS n_pages,
 FROM tl t JOIN ranked r ON r.tile = t.tile AND r.rn = 1
 GROUP BY t.tile
 """
+
+
+# --- per-source geographic footprint (geo x web, one exchange) ----------------
+
+def geo_points_source(sf_dir: str):
+    """Located pages with the SITE derived from the url path (the
+    pages schema carries no source column — the url embeds it as
+    ``https://fixture.test/<source>/...``, so the Ray path extracts it
+    the way a real crawl pipeline would; the SQL mirror reads the
+    documents.source column directly, an independent derivation)."""
+    import pyarrow.compute as pc
+
+    from jimmy_ray.pipelines import flagship
+    from jimmy_ray.stages import extract as ex
+
+    def fn(batch: pa.Table) -> pa.Table:
+        has_geo, lat_e6, lon_e6 = ex._parse_geo_heads(
+            ex._decode_heads(batch))
+        mask = pa.array(has_geo)
+        urls = batch["url"].filter(mask)
+        sources = pc.list_element(pc.split_pattern(urls, "/"), 3)
+        return pa.table({
+            "source": sources,
+            "lat_e6": pa.array(lat_e6[has_geo], pa.int64()),
+            "lon_e6": pa.array(lon_e6[has_geo], pa.int64()),
+        })
+
+    return flagship.pages(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=512)
+
+
+def source_geo_footprint(sf_dir: str, zoom: int = 10):
+    """Per-source spatial spread: located-page count, DISTINCT tile
+    count and the integer-microdegree bounding box — the "where does
+    this site's content point" rollup.  Shape: per-batch (source,
+    tile) partials with bbox, one small groupby(source), local fold
+    (sources are low-cardinality; tiles dedupe exactly inside the
+    fold because each (source, tile) pair co-locates)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tiles = geo_core.tile_id(
+            batch["lat_e6"].to_numpy(zero_copy_only=False),
+            batch["lon_e6"].to_numpy(zero_copy_only=False),
+            zoom,
+        )
+        df = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "tile": tiles,
+            "lat_e6": batch["lat_e6"].to_numpy(zero_copy_only=False),
+            "lon_e6": batch["lon_e6"].to_numpy(zero_copy_only=False),
+        })
+        out = df.groupby(["source", "tile"]).agg(
+            p_n=("lat_e6", "size"),
+            p_min_lat=("lat_e6", "min"), p_max_lat=("lat_e6", "max"),
+            p_min_lon=("lon_e6", "min"), p_max_lon=("lon_e6", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_points": [int(g["p_n"].sum())],
+            "n_tiles": [int(g["tile"].nunique())],
+            "min_lat": [int(g["p_min_lat"].min())],
+            "max_lat": [int(g["p_max_lat"].max())],
+            "min_lon": [int(g["p_min_lon"].min())],
+            "max_lon": [int(g["p_max_lon"].max())],
+        })
+
+    return (geo_points_source(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", batch_size=32768)
+            .repartition(8)
+            .groupby("source")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def sql_source_geo_footprint(points_source_cte: str,
+                             zoom: int = 10) -> str:
+    tile = geo_core.sql_tile_id("lat_e6", "lon_e6", zoom)
+    return f"""
+{points_source_cte}
+SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT {tile}) AS BIGINT) AS n_tiles,
+       CAST(min(lat_e6) AS BIGINT) AS min_lat,
+       CAST(max(lat_e6) AS BIGINT) AS max_lat,
+       CAST(min(lon_e6) AS BIGINT) AS min_lon,
+       CAST(max(lon_e6) AS BIGINT) AS max_lon
+FROM pts GROUP BY source
+"""

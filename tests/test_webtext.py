@@ -627,3 +627,20 @@ def test_term_search_scoring_brute_force_equivalence(ray_session):
                   if all(dfreq[t] == 0 for t in ts)]
     for q in unseen_all:
         assert (df["qid"] == q).sum() == 0
+
+
+def test_source_geo_footprint_bbox_contains_all_points(ray_session):
+    from jimmy_ray.stages import geoagg
+
+    sf = "/root/testdata/sf0.001"
+    fp = geoagg.source_geo_footprint(sf).to_pandas()
+    pts = geoagg.geo_points_source(sf).to_pandas()
+    assert fp["n_points"].sum() == len(pts)
+    for _, r in fp.iterrows():
+        g = pts[pts["source"] == r["source"]]
+        assert len(g) == r["n_points"]
+        assert g["lat_e6"].min() == r["min_lat"]
+        assert g["lat_e6"].max() == r["max_lat"]
+        assert g["lon_e6"].min() == r["min_lon"]
+        assert g["lon_e6"].max() == r["max_lon"]
+        assert 1 <= r["n_tiles"] <= r["n_points"]
