@@ -565,6 +565,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "source_geo_footprint": lambda sf: __import__(
             "jimmy_ray.stages.geoagg", fromlist=["x"]
         ).source_geo_footprint(sf),
+        # collocation mining: top bigrams by integer lift (PMI cousin)
+        "collocations": lambda sf: __import__(
+            "jimmy_ray.functions.textindex", fromlist=["x"]
+        ).collocations(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1095,6 +1099,9 @@ def oracle_sql() -> dict[str, str]:
         "source_geo_footprint": __import__(
             "jimmy_ray.stages.geoagg", fromlist=["x"]
         ).sql_source_geo_footprint(_POINTS_SOURCE_CTE),
+        "collocations": __import__(
+            "jimmy_ray.functions.textindex", fromlist=["x"]
+        ).sql_collocations(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

@@ -263,3 +263,148 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
        doc_id, CAST(score AS BIGINT) AS score
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- collocation mining (top bigrams by integer lift) --------------------------
+
+COLLOC_MIN_COUNT = 3
+COLLOC_K = 50
+
+
+def _bigram_partial(batch: pa.Table) -> pd.DataFrame:
+    counts: dict[str, int] = {}
+    for t in batch["text"].to_pylist():
+        toks = tokenize(t)
+        for a, b in zip(toks, toks[1:]):
+            bg = f"{a} {b}"
+            counts[bg] = counts.get(bg, 0) + 1
+    return pd.DataFrame(counts.items(), columns=["bigram", "n"])
+
+
+def _unigram_partial(batch: pa.Table) -> pd.DataFrame:
+    counts: dict[str, int] = {}
+    for t in batch["text"].to_pylist():
+        for w in tokenize(t):
+            counts[w] = counts.get(w, 0) + 1
+    return pd.DataFrame(counts.items(), columns=["word", "n"])
+
+
+def collocations(sf_dir: str, min_count: int = COLLOC_MIN_COUNT,
+                 k: int = COLLOC_K, num_partitions: int = 8):
+    """Phrase mining over the REAL text: bigrams ranked by integer
+    lift, ``lift_milli = n_ab × N_tokens × 1000 // (n_a × n_b)`` —
+    PMI's float-free cousin (monotone in PMI for fixed N).
+
+    Shape: per-batch bigram/unigram pre-counts → one bucket fold each
+    → min-count filter (kills the long tail BEFORE the joins) → two
+    hash joins shipping the unigram counts to the bigram rows (the
+    n-gram-Jaccard set-size pattern, partitions clamped) → distributed
+    sort + limit for the global top-k.  N_tokens is the only driver
+    scalar."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def word_bucket(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        df["__b"] = (pd.util.hash_array(df[col].to_numpy(dtype=object))
+                     % 64).astype("int64")
+        return df
+
+    def fold(col):
+        def _f(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(col, as_index=False)["n"].sum()
+            return out
+        return _f
+
+    uni = (docs.map_batches(_unigram_partial, batch_format="pyarrow",
+                            batch_size=4096)
+           .map_batches(lambda d: word_bucket(d, "word"),
+                        batch_format="pandas")
+           .groupby("__b").map_groups(fold("word"), batch_format="pandas")
+           .select_columns(["word", "n"]))
+
+    n_tokens = int(uni.aggregate(Sum("n", alias_name="t"))["t"])
+
+    bi = (docs.map_batches(_bigram_partial, batch_format="pyarrow",
+                           batch_size=4096)
+          .map_batches(lambda d: word_bucket(d, "bigram"),
+                       batch_format="pandas")
+          .groupby("__b").map_groups(fold("bigram"), batch_format="pandas")
+          .map_batches(lambda d: d[d["n"] >= min_count],
+                       batch_format="pandas")
+          .select_columns(["bigram", "n"]))
+
+    num_partitions = max(1, min(num_partitions,
+                                bi.count() // 4096 + 1))
+
+    def split_words(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        df = df.rename(columns={"n": "n_ab"})
+        df["wa"] = parts[0]
+        df["wb"] = parts[1]
+        return df
+
+    bi2 = bi.map_batches(split_words, batch_format="pandas")
+    with_a = bi2.join(
+        uni.map_batches(
+            lambda t: pa.table({"a_key": t["word"], "n_a": t["n"]}),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("wa",), right_on=("a_key",))
+    with_b = with_a.join(
+        uni.map_batches(
+            lambda t: pa.table({"b_key": t["word"], "n_b": t["n"]}),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("wb",), right_on=("b_key",))
+
+    def lift(batch: pd.DataFrame) -> pa.Table:
+        n_ab = batch["n_ab"].to_numpy()
+        n_a = batch["n_a"].to_numpy()
+        n_b = batch["n_b"].to_numpy()
+        lm = (n_ab.astype(object) * n_tokens * 1000) // (n_a * n_b)
+        return pa.table({
+            "bigram": pa.array(batch["bigram"], pa.string()),
+            "n_ab": pa.array(n_ab, pa.int64()),
+            "n_a": pa.array(n_a, pa.int64()),
+            "n_b": pa.array(n_b, pa.int64()),
+            "lift_milli": pa.array([int(x) for x in lm], pa.int64()),
+        })
+
+    return (with_b.map_batches(lift, batch_format="pandas")
+            .sort(["lift_milli", "bigram"], descending=[True, False])
+            .limit(k))
+
+
+def sql_collocations(min_count: int = COLLOC_MIN_COUNT,
+                     k: int = COLLOC_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents
+), uni AS (
+  SELECT unnest(l) AS w FROM toks
+), un AS (
+  SELECT w, count(*) AS n FROM uni GROUP BY w
+), total AS (
+  SELECT count(*) AS t FROM uni
+), big AS (
+  SELECT unnest([l[i] || ' ' || l[i+1]
+                 for i in generate_series(1, len(l) - 1)]) AS bg
+  FROM toks
+), bn AS (
+  SELECT bg, count(*) AS n_ab FROM big GROUP BY bg
+  HAVING count(*) >= {min_count}
+)
+SELECT bg AS bigram, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+       CAST((n_ab * t.t * 1000) // (ua.n * ub.n) AS BIGINT)
+         AS lift_milli
+FROM bn
+JOIN un ua ON ua.w = split_part(bg, ' ', 1)
+JOIN un ub ON ub.w = split_part(bg, ' ', 2)
+CROSS JOIN total t
+ORDER BY lift_milli DESC, bigram
+LIMIT {k}
+"""

@@ -644,3 +644,36 @@ def test_source_geo_footprint_bbox_contains_all_points(ray_session):
         assert g["lon_e6"].min() == r["min_lon"]
         assert g["lon_e6"].max() == r["max_lon"]
         assert 1 <= r["n_tiles"] <= r["n_points"]
+
+
+def test_collocations_lift_brute_force(ray_session):
+    """Recompute every returned bigram's lift from raw text counts and
+    assert the cut is the true global top-k under the total order."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from jimmy_ray.functions import textindex as ti
+
+    sf = "/root/testdata/sf0.001"
+    got = ti.collocations(sf).to_pandas()
+    texts = pq.read_table(f"{sf}/documents.parquet") \
+        .to_pandas()["text"].tolist()
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = ti.tokenize(t)
+        uni.update(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n_tokens = sum(uni.values())
+    expect = []
+    for bg, n_ab in bi.items():
+        if n_ab < ti.COLLOC_MIN_COUNT:
+            continue
+        a, b = bg.split(" ", 1)
+        expect.append((bg, n_ab, uni[a], uni[b],
+                       n_ab * n_tokens * 1000 // (uni[a] * uni[b])))
+    expect.sort(key=lambda r: (-r[4], r[0]))
+    expect = expect[:ti.COLLOC_K]
+    rows = list(got[["bigram", "n_ab", "n_a", "n_b", "lift_milli"]]
+                .itertuples(index=False, name=None))
+    assert rows == expect
