@@ -256,3 +256,24 @@ def _enex_to_markdown(password: str | None = None) -> StageDef:
         return _pa.table(out)
 
     return StageDef(batch_fn, batch_size=256)
+
+
+@stage("main_content")
+def _main_content() -> StageDef:
+    from jimmy_ray.html import maincontent
+
+    return StageDef(maincontent.main_content_batch, batch_size=512)
+
+
+@stage("c4_clean")
+def _c4_clean() -> StageDef:
+    from jimmy_ray.functions import c4
+
+    return StageDef(c4.c4_clean_batch, batch_size=4096)
+
+
+@stage("normalize_unicode")
+def _normalize_unicode() -> StageDef:
+    from jimmy_ray.scalars import charset
+
+    return StageDef(charset.normalize_batch, batch_size=4096)

@@ -236,3 +236,15 @@ SELECT d.doc_id,
   ELSE '' END AS text
 FROM documents d JOIN owners o ON d.doc_id % {N_SENT_GROUPS} = o.grp
 """
+
+
+def c4_clean_batch(batch: pa.Table) -> pa.Table:
+    """Pages-schema stage: keep surviving pages, text cleaned."""
+    urls, texts = [], []
+    for u, t in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+        cleaned = c4_clean_page(t)
+        if cleaned is not None:
+            urls.append(u)
+            texts.append(cleaned)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "text": pa.array(texts, pa.string())})

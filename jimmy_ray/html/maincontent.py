@@ -131,3 +131,10 @@ def sql_main_content_extract() -> str:
     from jimmy_ray.sources.fixturetpl import sql_golden_query
 
     return sql_golden_query(MAIN_GOLDEN_TEMPLATE)
+
+
+def main_content_batch(batch: pa.Table) -> pa.Table:
+    """Pages-schema stage: (url, html, ...) -> (url, text)."""
+    texts = [main_content_markdown(h) for h in batch["html"].to_pylist()]
+    return pa.table({"url": batch["url"],
+                     "text": pa.array(texts, pa.string())})

@@ -232,3 +232,10 @@ FROM (
   FROM documents
 )
 """
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Pages-schema stage: (url, text, ...) -> (url, normalized text)."""
+    texts = [normalize_text(t) for t in batch["text"].to_pylist()]
+    return pa.table({"url": batch["url"],
+                     "text": pa.array(texts, pa.string())})

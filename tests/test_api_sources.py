@@ -325,3 +325,40 @@ def test_link_resolution_join_equals_broadcast(ray_session):
          .to_pandas().sort_values("url").reset_index(drop=True))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_compile_webtext_cleaning_chain(ray_session):
+    """The round-4 curation stages compose through the plugin spec:
+    pages -> main-content -> C4 rules -> unicode normalize.  (The
+    synthetic corpus text carries no terminal punctuation, so real
+    synth pages are legitimately all-dropped by C4 — feed
+    C4-survivable pages and one poison page instead.)"""
+    import ray.data as rd
+
+    def page(i, poison=False):
+        body = (f"<nav><a href='/'>Home</a></nav>"
+                f"<div><h1>T {i}</h1>"
+                f"<p>First sentence for page {i} has\tplenty  of words.</p>"
+                f"<p>Second sentence for page {i} is also long enough.</p>"
+                f"<p>Third sentence for page {i} rounds out the page.</p>"
+                + ("<p>lorem ipsum dolor sit amet consectetur elit.</p>"
+                   if poison else "")
+                + "</div>")
+        return {"url": f"https://t/{i}",
+                "html": f"<html><body>{body}</body></html>".encode()}
+
+    pages = rd.from_items([page(0), page(1), page(2, poison=True)])
+    spec = [{"stage": "main_content"}, {"stage": "c4_clean"},
+            {"stage": "normalize_unicode"}]
+    out = api.compile_pipeline(pages, spec).to_pandas()
+    assert set(out["url"]) == {"https://t/0", "https://t/1"}  # poison dropped
+    assert set(out.columns) == {"url", "text"}
+    from jimmy_ray.functions.c4 import c4_line_keep
+    from jimmy_ray.scalars.charset import normalize_text
+
+    for t in out["text"]:
+        assert t == normalize_text(t)       # tab/space runs normalized
+        assert "\t" not in t and "  " not in t
+        assert len(t.split("\n")) == 3
+        for line in t.split("\n"):
+            assert c4_line_keep(line)
