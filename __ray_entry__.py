@@ -569,6 +569,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "collocations": lambda sf: __import__(
             "jimmy_ray.functions.textindex", fromlist=["x"]
         ).collocations(sf),
+        # sitemap-vs-crawl coverage report (distributed anti-joins)
+        "frontier_gap": lambda sf: __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).frontier_gap(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1102,6 +1106,9 @@ def oracle_sql() -> dict[str, str]:
         "collocations": __import__(
             "jimmy_ray.functions.textindex", fromlist=["x"]
         ).sql_collocations(),
+        "frontier_gap": __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).sql_frontier_gap(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

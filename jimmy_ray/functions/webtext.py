@@ -452,3 +452,100 @@ SELECT url, CAST(count(*) AS BIGINT) AS n_caps,
        CAST(max(ts_s) AS BIGINT) AS last_ts_s
 FROM d GROUP BY url
 """
+
+
+# --- crawl-frontier coverage gap (distributed anti-joins) ---------------------
+
+def frontier_gap(sf_dir: str, num_partitions: int = 8):
+    """Sitemap-vs-crawl set difference, both directions: urls the
+    sitemap lists but the crawl never fetched (``uncrawled``) and urls
+    the crawl holds that the sitemap no longer lists
+    (``uncatalogued``) — the crawl-ops coverage report.
+
+    Fixture: the sitemap side lists url variants {0, 1} per doc, the
+    crawl side holds {1, 2}, so v0 is uncrawled and v2 uncatalogued.
+
+    Shape: the distributed ANTI-JOIN — left_outer hash join then a
+    null-probe filter, once per direction (Ray Data has no native
+    anti join; this is the composition a cluster would run).  Join
+    partitions clamp to the row count."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    num_partitions = max(1, min(num_partitions,
+                                n_docs * 2 // 4096 + 1))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def side(variants, colname):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = [synth_url(d, v)
+                    for d in batch["doc_id"].to_pylist()
+                    for v in variants]
+            return pa.table({colname: pa.array(urls, pa.string())})
+        return docs.map_batches(fn, batch_format="pyarrow",
+                                batch_size=4096)
+
+    sitemap = side((0, 1), "url")
+    crawled = side((1, 2), "curl")
+
+    def anti(left, right, right_col, marker, status):
+        # the join drops the right KEY column from the output, so the
+        # right side carries a constant marker column to null-probe
+        joined = left.join(right, join_type="left_outer",
+                           num_partitions=num_partitions,
+                           on=("url",), right_on=(right_col,))
+
+        def only_missing(batch: pd.DataFrame) -> pa.Table:
+            miss = batch[batch[marker].isna()]
+            return pa.table({
+                "url": pa.array(miss["url"], pa.string()),
+                "status": pa.array([status] * len(miss), pa.string()),
+            })
+
+        return joined.map_batches(only_missing, batch_format="pandas")
+
+    def with_marker(ds, key_in, key_out, marker):
+        return ds.map_batches(
+            lambda t, ki=key_in, ko=key_out, m=marker: pa.table(
+                {ko: t[ki], m: pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+
+    uncrawled = anti(sitemap, with_marker(crawled, "curl", "curl", "cmark"),
+                     "curl", "cmark", "uncrawled")
+    uncatalogued = anti(
+        crawled.map_batches(lambda t: pa.table({"url": t["curl"]}),
+                            batch_format="pyarrow"),
+        with_marker(sitemap, "url", "surl", "smark"),
+        "surl", "smark", "uncatalogued")
+    return uncrawled.union(uncatalogued)
+
+
+def sql_frontier_gap() -> str:
+    u = (
+        "CASE v WHEN 0 THEN 'https://WWW.Example' || CAST(doc_id % 50 AS"
+        " VARCHAR) || '.COM:443/Path' || CAST(doc_id AS VARCHAR)"
+        " || '/?utm_source=feed&b=2&a=1#frag' "
+        "WHEN 1 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.com/Path' || CAST(doc_id AS VARCHAR) || '/?a=1&b=2' "
+        "ELSE 'http://example' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.com:80/other' || CAST(doc_id AS VARCHAR) END"
+    )
+    return f"""
+WITH sm AS (
+  SELECT {u} AS url FROM documents
+  CROSS JOIN (SELECT * FROM (VALUES (0), (1)) AS t(v))
+), cr AS (
+  SELECT {u} AS url FROM documents
+  CROSS JOIN (SELECT * FROM (VALUES (1), (2)) AS t(v))
+)
+SELECT url, 'uncrawled' AS status FROM sm
+WHERE url NOT IN (SELECT url FROM cr)
+UNION ALL
+SELECT url, 'uncatalogued' FROM cr
+WHERE url NOT IN (SELECT url FROM sm)
+"""

@@ -677,3 +677,17 @@ def test_collocations_lift_brute_force(ray_session):
     rows = list(got[["bigram", "n_ab", "n_a", "n_b", "lift_milli"]]
                 .itertuples(index=False, name=None))
     assert rows == expect
+
+
+def test_frontier_gap_anti_join_directions(ray_session):
+    from jimmy_ray.functions import webtext as wt
+
+    df = wt.frontier_gap("/root/testdata/sf0.001").to_pandas()
+    unc = df[df["status"] == "uncrawled"]["url"]
+    cat = df[df["status"] == "uncatalogued"]["url"]
+    assert len(unc) == 500 and len(cat) == 500
+    assert set(unc) == {wt.synth_url(d, 0) for d in range(500)}
+    assert set(cat) == {wt.synth_url(d, 2) for d in range(500)}
+    # the shared variant (v1) appears on neither side
+    shared = {wt.synth_url(d, 1) for d in range(500)}
+    assert shared.isdisjoint(set(df["url"]))
