@@ -574,6 +574,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "frontier_gap": lambda sf: __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).frontier_gap(sf),
+        # triangle count (canonical-orientation wedge join)
+        "triangle_count": lambda sf: __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).triangle_count(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1110,6 +1114,9 @@ def oracle_sql() -> dict[str, str]:
         "frontier_gap": __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).sql_frontier_gap(),
+        "triangle_count": __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).sql_triangle_count(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

@@ -691,3 +691,29 @@ def test_frontier_gap_anti_join_directions(ray_session):
     # the shared variant (v1) appears on neither side
     shared = {wt.synth_url(d, 1) for d in range(500)}
     assert shared.isdisjoint(set(df["url"]))
+
+
+def test_triangle_count_brute_force(ray_session):
+    """Recompute the exact triangle count from the edge formula with a
+    driver-side set intersection."""
+    import numpy as np
+
+    from jimmy_ray.functions import webgraph as wg
+
+    sf = "/root/testdata/sf0.001"
+    n = 500
+    edges = set()
+    d = np.arange(n, dtype=np.int64)
+    for j in range(wg.MAX_OUT - 1):
+        src = d[d % wg.MAX_OUT > j]
+        dst = wg.edge_dsts(src, j, n)
+        for s, t in zip(src, dst):
+            if s != t:
+                edges.add((min(int(s), int(t)), max(int(s), int(t))))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    expect = sum(1 for a, b in edges
+                 for c in adj.get(b, ()) if c in adj.get(a, ()))
+    got = wg.triangle_count(sf).to_pandas()["n_triangles"].iloc[0]
+    assert got == expect and expect > 0
