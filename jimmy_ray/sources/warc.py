@@ -46,30 +46,47 @@ def split_gzip_members(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_warc(payload: bytes) -> list[dict]:
+def parse_warc(payload: bytes, strict: bool = True) -> list[dict]:
     """One dict per WARC record: headers + raw block.  Accepts plain
-    and gzip-member layouts (sniffed by magic)."""
+    and gzip-member layouts (sniffed by magic).
+
+    ``strict=False`` is the real-crawl mode: a record whose version
+    line, headers or Content-Length are corrupt is emitted as a
+    dead-letter dict (``{"error": ..., "offset": ...}``) and the
+    scanner resyncs at the next ``\\r\\n\\r\\nWARC/`` boundary instead of
+    aborting the whole shard — the row-level fault-isolation rule
+    (SURVEY §2.9) applied to the container layer."""
     if payload[:2] == b"\x1f\x8b":
         payload = split_gzip_members(payload)
     records = []
     pos = 0
     while pos < len(payload):
-        if payload[pos:pos + 5] != b"WARC/":
-            raise ValueError(f"expected WARC version line at {pos}")
-        head_end = payload.index(_CRLF + _CRLF, pos)
-        head_lines = payload[pos:head_end].split(_CRLF)
-        headers: dict[str, str] = {}
-        for line in head_lines[1:]:
-            k, _, v = line.decode("utf-8").partition(":")
-            headers[k.strip().lower()] = v.strip()
-        length = int(headers["content-length"])
-        block_start = head_end + 4
-        records.append({
-            "version": head_lines[0].decode(),
-            "headers": headers,
-            "block": payload[block_start:block_start + length],
-        })
-        pos = block_start + length
+        try:
+            if payload[pos:pos + 5] != b"WARC/":
+                raise ValueError(f"expected WARC version line at {pos}")
+            head_end = payload.index(_CRLF + _CRLF, pos)
+            head_lines = payload[pos:head_end].split(_CRLF)
+            headers: dict[str, str] = {}
+            for line in head_lines[1:]:
+                k, _, v = line.decode("utf-8").partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length = int(headers["content-length"])
+            block_start = head_end + 4
+            records.append({
+                "version": head_lines[0].decode(),
+                "headers": headers,
+                "block": payload[block_start:block_start + length],
+            })
+            pos = block_start + length
+        except (ValueError, KeyError, UnicodeDecodeError) as exc:
+            if strict:
+                raise
+            records.append({"error": str(exc)[:200], "offset": pos,
+                            "headers": {}, "block": b""})
+            nxt = payload.find(_CRLF + _CRLF + b"WARC/", pos)
+            if nxt < 0:
+                break
+            pos = nxt + 4
         while payload[pos:pos + 2] == _CRLF:
             pos += 2
     return records

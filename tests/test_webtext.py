@@ -717,3 +717,27 @@ def test_triangle_count_brute_force(ray_session):
                  for c in adj.get(b, ()) if c in adj.get(a, ()))
     got = wg.triangle_count(sf).to_pandas()["n_triangles"].iloc[0]
     assert got == expect and expect > 0
+
+
+def test_warc_tolerant_mode_resyncs_past_corruption():
+    """strict=False dead-letters a corrupt record and recovers the
+    records after it — bytes no fixture writer ever emits."""
+    import pytest
+
+    good = warc._record("response", "https://ok/1",
+                        b"HTTP/1.1 200 OK\r\n\r\nhi")
+    bad_version = b"GARBAGE no version line here\r\n\r\n"
+    bad_length = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                  b"Content-Length: notanumber\r\n\r\nbody\r\n\r\n")
+    missing_length = (b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+    for poison in (bad_version, bad_length, missing_length):
+        payload = good + poison + good
+        with pytest.raises((ValueError, KeyError)):
+            warc.parse_warc(payload)          # strict default unchanged
+        recs = warc.parse_warc(payload, strict=False)
+        errors = [r for r in recs if "error" in r]
+        oks = [r for r in recs if "error" not in r]
+        assert len(errors) >= 1
+        assert len(oks) == 2                  # both good records survive
+        assert all(r["headers"]["warc-type"] == "response" for r in oks)
+        assert all(isinstance(r["offset"], int) for r in errors)
