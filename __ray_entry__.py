@@ -578,6 +578,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": lambda sf: __import__(
             "jimmy_ray.functions.webgraph", fromlist=["x"]
         ).triangle_count(sf),
+        # HITS hubs/authorities (integer, 2 synchronous iterations)
+        "hits_scores": lambda sf: __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).hits(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1117,6 +1121,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": __import__(
             "jimmy_ray.functions.webgraph", fromlist=["x"]
         ).sql_triangle_count(),
+        "hits_scores": __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).sql_hits(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

@@ -546,3 +546,135 @@ w AS (
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM w JOIN ce e ON e.a = w.a AND e.b = w.c
 """
+
+
+# --- HITS (hubs & authorities, unnormalized integer) ---------------------------
+
+N_HITS_ITER = 2
+HITS_SCALE = 1_000
+
+
+def hits(sf_dir: str, n_iter: int = N_HITS_ITER):
+    """Integer HITS: h0 = SCALE, then per iteration
+    a_i(v) = Σ_{u→v} h_{i-1}(u) and h_i(u) = Σ_{u→v} a_i(v).
+    Unnormalized (rank order identical to normalized HITS); with
+    out-degree ≤ 3 and 2 iterations values stay ≪ int64, so the DuckDB
+    mirror reproduces every intermediate exactly.
+
+    Shape per iteration: the authority step explodes contributions
+    map-side (out-edges are a pure function of the node id — no edge
+    join shipped, the pagerank pattern) + one groupby(dst); the hub
+    step is one hash join of the edge table against the authority
+    table + one groupby(src).  Zero rows ride along so isolated nodes
+    survive; the per-iteration rank table materializes as the
+    checkpoint (compounding-lineage rule from pagerank)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    n = _n_docs(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src_all, dst_all = [], []
+        for j in range(MAX_OUT - 1):
+            src = d[d % MAX_OUT > j]
+            src_all.append(src)
+            dst_all.append(edge_dsts(src, j, n))
+        return pa.table({
+            "src": pa.array(np.concatenate(src_all), pa.int64()),
+            "dst": pa.array(np.concatenate(dst_all), pa.int64()),
+        })
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow",
+                             batch_size=8192)
+    num_partitions = max(1, min(8, n * 2 // 4096 + 1))
+
+    h = docs.map_batches(
+        lambda b: pa.table({
+            "node": b["doc_id"],
+            "h": pa.array(np.full(b.num_rows, HITS_SCALE, np.int64)),
+        }), batch_format="pyarrow", batch_size=8192)
+
+    a = None
+    for _ in range(n_iter):
+        # authority step: out-edges exploded map-side from the formula
+        def contrib(batch: pa.Table) -> pa.Table:
+            d = batch["node"].to_numpy(zero_copy_only=False)
+            hv = batch["h"].to_numpy(zero_copy_only=False)
+            nodes = [d]
+            amts = [np.zeros(len(d), np.int64)]  # zero row per node
+            for j in range(MAX_OUT - 1):
+                m = d % MAX_OUT > j
+                nodes.append(edge_dsts(d[m], j, n))
+                amts.append(hv[m])
+            return pa.table({
+                "node": pa.array(np.concatenate(nodes), pa.int64()),
+                "amt": pa.array(np.concatenate(amts), pa.int64()),
+            })
+
+        a = (h.map_batches(contrib, batch_format="pyarrow",
+                           batch_size=8192)
+             .repartition(8).groupby("node")
+             .aggregate(Sum("amt", alias_name="a"))).materialize()
+
+        # hub step: edge table joins the authority table on dst
+        hub_part = edges.join(
+            a.map_batches(lambda t: pa.table({"anode": t["node"],
+                                              "av": t["a"]}),
+                          batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=("dst",), right_on=("anode",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["src"], "amt": t["av"]}),
+            batch_format="pyarrow")
+        zeros = docs.map_batches(
+            lambda b: pa.table({
+                "node": b["doc_id"],
+                "amt": pa.array(np.zeros(b.num_rows, np.int64)),
+            }), batch_format="pyarrow")
+        h = (hub_part.union(zeros)
+             .repartition(8).groupby("node")
+             .aggregate(Sum("amt", alias_name="h"))).materialize()
+
+    def assemble(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch
+
+    joined = h.join(
+        a.map_batches(lambda t: pa.table({"anode": t["node"],
+                                          "auth": t["a"]}),
+                      batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("node",), right_on=("anode",))
+    return joined.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "hub": t["h"], "auth": t["auth"]}),
+        batch_format="pyarrow")
+
+
+def sql_hits(n_iter: int = N_HITS_ITER) -> str:
+    parts = [f"WITH {_sql_edges_cte()},",
+             f"h0 AS (SELECT doc_id AS node, {HITS_SCALE} AS v"
+             " FROM documents)"]
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f", a{i} AS (SELECT d.doc_id AS node,"
+            f" coalesce(sum(h.v), 0) AS v FROM documents d"
+            f" LEFT JOIN edges e ON e.dst = d.doc_id"
+            f" LEFT JOIN {prev_h} h ON h.node = e.src"
+            f" GROUP BY d.doc_id)")
+        parts.append(
+            f", h{i} AS (SELECT d.doc_id AS node,"
+            f" coalesce(sum(a.v), 0) AS v FROM documents d"
+            f" LEFT JOIN edges e ON e.src = d.doc_id"
+            f" LEFT JOIN a{i} a ON a.node = e.dst"
+            f" GROUP BY d.doc_id)")
+        prev_h = f"h{i}"
+    parts.append(
+        f"\nSELECT h.node, CAST(h.v AS BIGINT) AS hub,"
+        f" CAST(a.v AS BIGINT) AS auth"
+        f"\nFROM h{n_iter} h JOIN a{n_iter} a ON a.node = h.node")
+    return "\n".join(parts)

@@ -741,3 +741,32 @@ def test_warc_tolerant_mode_resyncs_past_corruption():
         assert len(oks) == 2                  # both good records survive
         assert all(r["headers"]["warc-type"] == "response" for r in oks)
         assert all(isinstance(r["offset"], int) for r in errors)
+
+
+def test_hits_brute_force(ray_session):
+    """Recompute both score vectors with a dense driver-side loop."""
+    import numpy as np
+
+    from jimmy_ray.functions import webgraph as wg
+
+    sf = "/root/testdata/sf0.001"
+    n = 500
+    edges = []
+    d = np.arange(n, dtype=np.int64)
+    for j in range(wg.MAX_OUT - 1):
+        src = d[d % wg.MAX_OUT > j]
+        edges.extend(zip(src.tolist(),
+                         wg.edge_dsts(src, j, n).tolist()))
+    h = np.full(n, wg.HITS_SCALE, np.int64)
+    for _ in range(wg.N_HITS_ITER):
+        a = np.zeros(n, np.int64)
+        for s, t in edges:
+            a[t] += h[s]
+        h = np.zeros(n, np.int64)
+        for s, t in edges:
+            h[s] += a[t]
+    df = wg.hits(sf).to_pandas().set_index("node").sort_index()
+    assert (df["hub"].to_numpy() == h).all()
+    assert (df["auth"].to_numpy() == a).all()
+    assert len(df) == n            # isolated nodes survive with 0s
+    assert (df.loc[df.index % wg.MAX_OUT == 0, "hub"] == 0).all()
