@@ -82,8 +82,8 @@ def entry() -> Any:
 # span_dedup, anchor_text_agg, redirect_resolve, snapshot_drift,
 # tile_language_mix, crawl_schedule, crawl_text_pipeline, fetch_waves,
 # normalize_corpus, inverted_index, top_terms_per_doc, term_search_topk,
-# source_geo_footprint, collocations, frontier_gap, triangle_count
-# (+ re-certify pdf_extract
+# source_geo_footprint, collocations, frontier_gap, triangle_count,
+# hits_scores (+ re-certify pdf_extract
 # / signal_extract / affine_extract / anki_extract / sevenzip_extract,
 # whose fixture paths gained encryption/container layers late in
 # round 4), then backfill any CORRECTNESS_r04 misses.
