@@ -582,6 +582,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": lambda sf: __import__(
             "jimmy_ray.functions.webgraph", fromlist=["x"]
         ).hits(sf),
+        # friends-of-friends: distinct 2-hop reach per node
+        "two_hop_reach": lambda sf: __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).two_hop_reach(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1124,6 +1128,9 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": __import__(
             "jimmy_ray.functions.webgraph", fromlist=["x"]
         ).sql_hits(),
+        "two_hop_reach": __import__(
+            "jimmy_ray.functions.webgraph", fromlist=["x"]
+        ).sql_two_hop_reach(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

@@ -678,3 +678,72 @@ def sql_hits(n_iter: int = N_HITS_ITER) -> str:
         f" CAST(a.v AS BIGINT) AS auth"
         f"\nFROM h{n_iter} h JOIN a{n_iter} a ON a.node = h.node")
     return "\n".join(parts)
+
+
+# --- 2-hop reach ----------------------------------------------------------------
+
+def two_hop_reach(sf_dir: str, num_partitions: int = 8):
+    """Per-node count of DISTINCT nodes reachable in exactly two
+    directed hops (self excluded) — the friends-of-friends primitive
+    behind related-page recommendation.  One wedge hash join (edges ⋈
+    edges on dst = src′) then a coarse src-bucket distinct fold;
+    orientation on the directed formula graph keeps fan-out ≤
+    out-degree², so no skew salt is needed here (salt hot middles on
+    real graphs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    n = _n_docs(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src_all, dst_all = [], []
+        for j in range(MAX_OUT - 1):
+            src = d[d % MAX_OUT > j]
+            src_all.append(src)
+            dst_all.append(edge_dsts(src, j, n))
+        return pa.table({
+            "src": pa.array(np.concatenate(src_all), pa.int64()),
+            "dst": pa.array(np.concatenate(dst_all), pa.int64()),
+        })
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow",
+                             batch_size=8192)
+    n_edges = n * MAX_OUT // 2
+    num_partitions = max(1, min(num_partitions, n_edges // 4096 + 1))
+
+    hop2 = edges.map_batches(
+        lambda t: pa.table({"mid": t["src"], "c": t["dst"]}),
+        batch_format="pyarrow")
+    wedges = edges.join(hop2, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("dst",), right_on=("mid",))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[batch["src"] != batch["c"]][["src", "c"]]
+        df = df.drop_duplicates()
+        df["__b"] = (df["src"].to_numpy() % 64).astype(np.int64)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["src", "c"]).groupby(
+            "src", as_index=False)["c"].size()
+        out.columns = ["node", "n_two_hop"]
+        return out
+
+    return (wedges.map_batches(partial, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def sql_two_hop_reach() -> str:
+    return f"""
+WITH {_sql_edges_cte()}
+SELECT e1.src AS node,
+       CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_two_hop
+FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+WHERE e2.dst <> e1.src
+GROUP BY e1.src
+"""

@@ -770,3 +770,25 @@ def test_hits_brute_force(ray_session):
     assert (df["auth"].to_numpy() == a).all()
     assert len(df) == n            # isolated nodes survive with 0s
     assert (df.loc[df.index % wg.MAX_OUT == 0, "hub"] == 0).all()
+
+
+def test_two_hop_reach_brute_force(ray_session):
+    import numpy as np
+
+    from jimmy_ray.functions import webgraph as wg
+
+    sf = "/root/testdata/sf0.001"
+    n = 500
+    adj = {}
+    d = np.arange(n, dtype=np.int64)
+    for j in range(wg.MAX_OUT - 1):
+        src = d[d % wg.MAX_OUT > j]
+        for s, t in zip(src.tolist(), wg.edge_dsts(src, j, n).tolist()):
+            adj.setdefault(s, set()).add(t)
+    expect = {}
+    for s, outs in adj.items():
+        reach = {c for b in outs for c in adj.get(b, ()) if c != s}
+        if reach:
+            expect[s] = len(reach)
+    df = wg.two_hop_reach(sf).to_pandas()
+    assert dict(zip(df["node"], df["n_two_hop"])) == expect
