@@ -53,3 +53,14 @@ def test_entry_smoke(ray_session):
     df = result.to_pandas()
     assert len(df) >= 0
     assert set(df.columns) == {"polygon_id", "n_pages"}
+
+
+def test_driver_window_is_the_first_50_queries():
+    """The correctness driver samples the FIRST 50 queries() entries;
+    the round-4 window must stay exactly _DRIVER_WINDOW_R4 (the
+    never-driver-sampled set) regardless of later additions."""
+    names = list(QUERIES)
+    assert len(entrymod._DRIVER_WINDOW_R4) == 50
+    assert names[:50] == entrymod._DRIVER_WINDOW_R4
+    # everything in the window must exist and be oracled or rows-only
+    assert set(entrymod._DRIVER_WINDOW_R4) <= set(QUERIES)
