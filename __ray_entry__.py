@@ -586,6 +586,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_reach": lambda sf: __import__(
             "jimmy_ray.functions.webgraph", fromlist=["x"]
         ).two_hop_reach(sf),
+        # crawler-trap detection: url path-template rollup
+        "url_template_mining": lambda sf: __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).url_template_mining(sf),
         # MS-ONESTORE binary decode (.one revision store → page rows)
         "onestore_extract": lambda sf: __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
@@ -1131,6 +1135,9 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_reach": __import__(
             "jimmy_ray.functions.webgraph", fromlist=["x"]
         ).sql_two_hop_reach(),
+        "url_template_mining": __import__(
+            "jimmy_ray.functions.webtext", fromlist=["x"]
+        ).sql_url_template_mining(),
         "onestore_extract": __import__(
             "jimmy_ray.sources.onestore", fromlist=["x"]
         ).sql_onestore_extract(),

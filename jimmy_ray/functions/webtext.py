@@ -549,3 +549,88 @@ UNION ALL
 SELECT url, 'uncatalogued' FROM cr
 WHERE url NOT IN (SELECT url FROM sm)
 """
+
+
+# --- URL template mining --------------------------------------------------------
+
+_DIGITS_RE = re.compile(r"[0-9]+")
+
+
+def url_template(url: str) -> str:
+    """Generalize a url into its path template: digit runs become
+    ``<d>`` — the classic crawler heuristic for spotting calendar
+    traps, pagination spaces and parameter explosions."""
+    parts = urlsplit(url)
+    path = _DIGITS_RE.sub("<d>", parts.path)
+    query = _DIGITS_RE.sub("<d>", parts.query)
+    host = (parts.hostname or "").lower()
+    return f"{host}{path}" + (f"?{query}" if query else "")
+
+
+def url_template_mining(sf_dir: str):
+    """Group the frontier by (registrable domain, url template):
+    url count and the lexicographically smallest example per template.
+    Map-side pre-aggregation per batch, one coarse template-hash
+    exchange, local fold — templates with huge counts are the trap
+    candidates a crawler throttles."""
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d in batch["doc_id"].to_pylist():
+            for v in range(N_URL_VARIANTS):
+                u = synth_url(d, v)
+                rows.append((registrable_domain(u), url_template(u), u))
+        df = pd.DataFrame(rows, columns=["domain", "template", "url"])
+        out = df.groupby(["domain", "template"], as_index=False).agg(
+            p_n=("url", "size"), p_min=("url", "min"))
+        out["__b"] = (pd.util.hash_array(
+            out["template"].to_numpy(dtype=object)) % 64).astype("int64")
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["domain", "template"], as_index=False).agg(
+            n_urls=("p_n", "sum"), example=("p_min", "min"))
+        return out
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=4096)
+            .groupby("__b")
+            .map_groups(fold, batch_format="pandas")
+            .select_columns(["domain", "template", "n_urls", "example"]))
+
+
+def sql_url_template_mining() -> str:
+    k = "CAST(doc_id % 50 AS VARCHAR)"
+    i = "CAST(doc_id AS VARCHAR)"
+    url = (
+        "CASE v WHEN 0 THEN 'https://WWW.Example' || {k} || '.COM:443/Path'"
+        " || {i} || '/?utm_source=feed&b=2&a=1#frag' "
+        "WHEN 1 THEN 'https://www.example' || {k} || '.com/Path' || {i}"
+        " || '/?a=1&b=2' "
+        "ELSE 'http://example' || {k} || '.com:80/other' || {i} END"
+    ).format(k=k, i=i)
+    # template derived in SQL with the same digit-run generalization:
+    # host lowercased, path+query from the variant shapes
+    # the host keeps its digits (only path+query generalize)
+    template = (
+        "CASE v WHEN 0 THEN 'www.example' || {k} || '.com/Path<d>/"
+        "?utm_source=feed&b=<d>&a=<d>' "
+        "WHEN 1 THEN 'www.example' || {k} || '.com/Path<d>/?a=<d>&b=<d>' "
+        "ELSE 'example' || {k} || '.com/other<d>' END"
+    ).format(k=k)
+    return f"""
+WITH variants AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(v)),
+u AS (
+  SELECT 'example' || {k} || '.com' AS domain, {template} AS template,
+         {url} AS url
+  FROM documents CROSS JOIN variants
+)
+SELECT domain, template, CAST(count(*) AS BIGINT) AS n_urls,
+       min(url) AS example
+FROM u GROUP BY domain, template
+"""

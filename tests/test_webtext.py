@@ -792,3 +792,13 @@ def test_two_hop_reach_brute_force(ray_session):
             expect[s] = len(reach)
     df = wg.two_hop_reach(sf).to_pandas()
     assert dict(zip(df["node"], df["n_two_hop"])) == expect
+
+
+def test_url_template_generalizes_path_and_query_only():
+    from jimmy_ray.functions.webtext import url_template
+
+    assert url_template("https://WWW.Ex7.COM:443/p/2024/01/x?page=3") == \
+        "www.ex7.com/p/<d>/<d>/x?page=<d>"
+    # host digits survive; scheme/port/fragment dropped
+    assert url_template("http://a1.b/c") == "a1.b/c"
+    assert url_template("https://a.b/c#frag9") == "a.b/c"
