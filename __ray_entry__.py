@@ -83,7 +83,8 @@ def entry() -> Any:
 # tile_language_mix, crawl_schedule, crawl_text_pipeline, fetch_waves,
 # normalize_corpus, inverted_index, top_terms_per_doc, term_search_topk,
 # source_geo_footprint, collocations, frontier_gap, triangle_count,
-# hits_scores, two_hop_reach (+ re-certify pdf_extract
+# hits_scores, two_hop_reach, url_template_mining
+# (+ re-certify pdf_extract
 # / signal_extract / affine_extract / anki_extract / sevenzip_extract,
 # whose fixture paths gained encryption/container layers late in
 # round 4), then backfill any CORRECTNESS_r04 misses.
