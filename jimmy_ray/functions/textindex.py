@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -48,10 +49,22 @@ def _doc_term_tf(batch: pa.Table) -> pd.DataFrame:
     return out
 
 
-def _with_term_bucket(df: pd.DataFrame) -> pd.DataFrame:
+def _with_term_bucket(df: pd.DataFrame, nb: int = 64) -> pd.DataFrame:
     df["__b"] = (pd.util.hash_array(df["term"].to_numpy(dtype=object))
-                 % 64).astype("int64")
+                 % nb).astype("int64")
     return df
+
+
+# rough expansion factors from corpus rows to fold-input rows, for the
+# size-derived bucket counts (folds.n_fold_buckets)
+TERMS_PER_DOC_EST = 32
+
+
+def _term_fold_buckets(sf_dir: str) -> int:
+    from jimmy_ray.functions.folds import n_fold_buckets, parquet_rows
+
+    return n_fold_buckets(
+        parquet_rows(f"{sf_dir}/documents.parquet") * TERMS_PER_DOC_EST)
 
 
 def inverted_index(sf_dir: str):
@@ -59,6 +72,7 @@ def inverted_index(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
+    nb = _term_fold_buckets(sf_dir)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["term", "doc_id"], kind="mergesort")
@@ -71,7 +85,8 @@ def inverted_index(sf_dir: str):
 
     return (docs.map_batches(_doc_term_tf, batch_format="pyarrow",
                              batch_size=4096)
-            .map_batches(_with_term_bucket, batch_format="pandas")
+            .map_batches(lambda d: _with_term_bucket(d, nb),
+                         batch_format="pandas")
             .groupby("__b")
             .map_groups(fold, batch_format="pandas"))
 
@@ -101,13 +116,15 @@ def top_terms_per_doc(sf_dir: str, k: int = TOP_K,
 
     doc_tf = docs.map_batches(_doc_term_tf, batch_format="pyarrow",
                               batch_size=4096)
+    nb = _term_fold_buckets(sf_dir)
 
     def df_fold(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("term", as_index=False)["doc_id"].size()
         out.columns = ["term", "df"]
         return out
 
-    term_df = (doc_tf.map_batches(_with_term_bucket, batch_format="pandas")
+    term_df = (doc_tf.map_batches(lambda d: _with_term_bucket(d, nb),
+                                  batch_format="pandas")
                .groupby("__b")
                .map_groups(df_fold, batch_format="pandas")
                .select_columns(["term", "df"]))
@@ -116,7 +133,7 @@ def top_terms_per_doc(sf_dir: str, k: int = TOP_K,
                          num_partitions=num_partitions, on=("term",))
 
     def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["__d"] = (df["doc_id"].to_numpy() % 64).astype("int64")
+        df["__d"] = (df["doc_id"].to_numpy() % nb).astype("int64")
         return df
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -209,20 +226,27 @@ def term_search_topk(sf_dir: str, k: int = SEARCH_K):
             index=False, name=None))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        by_doc: dict[int, dict[str, int]] = {}
-        for d, t, tf in batch[["doc_id", "term", "tf"]].itertuples(
-                index=False, name=None):
-            by_doc.setdefault(int(d), {})[t] = int(tf)
+        # MERGEABLE partials: one (qid, doc_id, score-contribution) row per
+        # matching tf row; the top-k fold re-sums per (qid, doc_id), so a
+        # document's term rows may split across batches/blocks freely.
+        weight = batch["term"].map(
+            lambda t: search_weight(n_total, df_map[t]) if t in df_map else 0
+        ).to_numpy()
+        contrib = batch["tf"].to_numpy().astype("int64") * weight
+        doc = batch["doc_id"].to_numpy()
+        parts = []
         for qid, terms in SEARCH_QUERIES.items():
-            for d, tfs in by_doc.items():
-                s = sum(tfs.get(t, 0) * search_weight(n_total, df_map[t])
-                        for t in terms if t in df_map)
-                if s > 0:
-                    rows.append((qid, d, s))
-        return pd.DataFrame(rows, columns=["qid", "doc_id", "score"])
+            m = batch["term"].isin(terms).to_numpy() & (contrib > 0)
+            parts.append(pd.DataFrame({
+                "qid": np.full(int(m.sum()), qid, dtype="int64"),
+                "doc_id": doc[m],
+                "score": contrib[m],
+            }))
+        out = pd.concat(parts, ignore_index=True)
+        return out.groupby(["qid", "doc_id"], as_index=False)["score"].sum()
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["qid", "doc_id"], as_index=False)["score"].sum()
         g = g.sort_values(["qid", "score", "doc_id"],
                           ascending=[True, False, True], kind="mergesort")
         g = g.assign(rank=(g.groupby("qid").cumcount() + 1).astype("int64"))
@@ -307,9 +331,11 @@ def collocations(sf_dir: str, min_count: int = COLLOC_MIN_COUNT,
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
+    nb = _term_fold_buckets(sf_dir)
+
     def word_bucket(df: pd.DataFrame, col: str) -> pd.DataFrame:
         df["__b"] = (pd.util.hash_array(df[col].to_numpy(dtype=object))
-                     % 64).astype("int64")
+                     % nb).astype("int64")
         return df
 
     def fold(col):

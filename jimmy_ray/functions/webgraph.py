@@ -109,21 +109,25 @@ def link_graph_degrees(sf_dir: str):
         out = df.groupby("node", sort=False)["p_in"].sum().reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def finalize(df):
-        import pandas as pd
-
-        node = df["node"].iloc[0]
-        return pd.DataFrame({
-            "node": [int(node)],
-            "out_deg": [int(node % MAX_OUT)],
-            "in_deg": [int(df["p_in"].sum())],
+    def finalize(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "out_deg": pa.array(node % MAX_OUT, pa.int64()),
+            "in_deg": pc.cast(batch["in_deg"], pa.int64()),
         })
 
+    from ray.data.aggregate import Sum
+
+    # vectorized Sum aggregate, NOT map_groups: per-node map_groups costs
+    # one Python call per node per round (CLAUDE.md 192s-vs-0.4s lesson)
     return (docs.map_batches(partial, batch_format="pyarrow",
                              batch_size=8192)
             .repartition(8)
             .groupby("node")
-            .map_groups(finalize, batch_format="pandas"))
+            .aggregate(Sum("p_in", alias_name="in_deg"))
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=65536))
 
 
 def sql_link_graph_degrees() -> str:
@@ -192,13 +196,14 @@ def pagerank(sf_dir: str, n_iter: int = N_ITER):
         # checkpoint of a synchronous iterative algorithm — without it,
         # consuming `summed` twice (sentinel + finalize) re-executes the
         # lineage and the recompute compounds 2^T across iterations
+        from ray.data.aggregate import Sum
+
         summed = (ranks.map_batches(
             lambda b: _contrib_batch(b, n),
             batch_format="pyarrow", batch_size=8192,
-        ).repartition(8).groupby("node").map_groups(
-            lambda df: df.groupby("node", as_index=False)["amt"].sum(),
-            batch_format="pandas",
-        ).materialize())
+        ).repartition(8).groupby("node")
+         .aggregate(Sum("amt", alias_name="amt"))
+         .materialize())
         # O(1) driver state: one sentinel row holds the dangling mass
         drow = summed.map_batches(
             lambda b: b.filter(pc.equal(b["node"], _DANGLING)),
@@ -278,8 +283,11 @@ def anchor_text_agg(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
+    from jimmy_ray.functions.folds import n_fold_buckets
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
+    nb = n_fold_buckets(3 * _n_docs(sf_dir))  # 3 anchor rows per doc
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         rows = []
@@ -288,7 +296,7 @@ def anchor_text_agg(sf_dir: str):
         df = pd.DataFrame(rows, columns=["target", "anchor"])
         out = df.groupby(["target", "anchor"], as_index=False).size()
         out.columns = ["target", "anchor", "n"]
-        out["__b"] = (out["target"].to_numpy() % 64).astype(np.int64)
+        out["__b"] = (out["target"].to_numpy() % nb).astype(np.int64)
         return out
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -460,6 +468,10 @@ def _canonical_edges(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
 
+    from jimmy_ray.functions.folds import n_fold_buckets
+
+    nb = n_fold_buckets(n * MAX_OUT)  # ≤ MAX_OUT-1 edges per doc
+
     def edge_rows(batch: pa.Table) -> pd.DataFrame:
         d = batch["doc_id"].to_numpy(zero_copy_only=False)
         a_all, b_all = [], []
@@ -474,7 +486,7 @@ def _canonical_edges(sf_dir: str):
                            "b": np.concatenate(b_all)})
         df = df.drop_duplicates()
         df["__b"] = ((df["a"].to_numpy() * 1_000_003 + df["b"].to_numpy())
-                     % 64).astype(np.int64)
+                     % nb).astype(np.int64)
         return df
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
@@ -721,10 +733,14 @@ def two_hop_reach(sf_dir: str, num_partitions: int = 8):
                         num_partitions=num_partitions,
                         on=("dst",), right_on=("mid",))
 
+    from jimmy_ray.functions.folds import n_fold_buckets
+
+    nb = n_fold_buckets(n * MAX_OUT * MAX_OUT)  # wedge-row upper bound
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = batch[batch["src"] != batch["c"]][["src", "c"]]
         df = df.drop_duplicates()
-        df["__b"] = (df["src"].to_numpy() % 64).astype(np.int64)
+        df["__b"] = (df["src"].to_numpy() % nb).astype(np.int64)
         return df
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:

@@ -386,8 +386,12 @@ def snapshot_drift(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
+    from jimmy_ray.functions.folds import n_fold_buckets, parquet_rows
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
+    nb = n_fold_buckets(parquet_rows(f"{sf_dir}/documents.parquet")
+                        * N_URL_VARIANTS * N_SNAPSHOTS)
 
     def caps(batch: pa.Table) -> "pd.DataFrame":
         rows = []
@@ -399,7 +403,7 @@ def snapshot_drift(sf_dir: str):
                                  snapshot_rev(d, v, s)))
         df = pd.DataFrame(rows, columns=["url", "ts_s", "rev"])
         df["__b"] = (pd.util.hash_array(df["url"].to_numpy(dtype=object))
-                     % 64).astype("int64")
+                     % nb).astype("int64")
         return df
 
     def fold(g: "pd.DataFrame") -> "pd.DataFrame":
@@ -576,8 +580,12 @@ def url_template_mining(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
+    from jimmy_ray.functions.folds import n_fold_buckets, parquet_rows
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
+    nb = n_fold_buckets(parquet_rows(f"{sf_dir}/documents.parquet")
+                        * N_URL_VARIANTS)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         rows = []
@@ -589,7 +597,7 @@ def url_template_mining(sf_dir: str):
         out = df.groupby(["domain", "template"], as_index=False).agg(
             p_n=("url", "size"), p_min=("url", "min"))
         out["__b"] = (pd.util.hash_array(
-            out["template"].to_numpy(dtype=object)) % 64).astype("int64")
+            out["template"].to_numpy(dtype=object)) % nb).astype("int64")
         return out
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:

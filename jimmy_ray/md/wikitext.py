@@ -406,3 +406,78 @@ def tiddlywiki_to_md(wikitext: str) -> str:
     text = re.sub(r"//(.+?)//", r"*\1*", text, flags=re.S)
     text = text.replace("\x02SEP\x02", "---")
     return vault.restore(text)
+
+
+# --- TiddlyWiki export container (tiddlers .json) ----------------------------
+
+def tw_split_tags(tag_string: str) -> list[str]:
+    """Space-separated tags; multi-word tags in ``[[double brackets]]``
+    (tiddlywiki.py:273-301 semantics).
+
+    >>> tw_split_tags("tag1 tag2 [[tag with spaces]]")
+    ['tag1', 'tag2', 'tag with spaces']
+    >>> tw_split_tags("")
+    []
+    """
+    if not tag_string.strip():
+        return []
+    out: list[str] = []
+    pending = ""
+    for part in tag_string.split(" "):
+        if pending:
+            if part.endswith("]]"):
+                out.append(pending + " " + part[:-2])
+                pending = ""
+            else:
+                pending += " " + part
+        elif part.startswith("[["):
+            if part.endswith("]]") and len(part) > 4:
+                out.append(part[2:-2])
+            else:
+                pending = part[2:]
+        elif part:
+            out.append(part)
+    return out
+
+
+def tw_ts_ms(tiddly_time: str) -> int:
+    """TiddlyWiki timestamp ``YYYYMMDDHHMMSSmmm`` (UTC) → epoch ms
+    (tiddlywiki.py:268-270 parses the same format)."""
+    import datetime as dt
+
+    t = dt.datetime.strptime(tiddly_time, "%Y%m%d%H%M%S%f").replace(
+        tzinfo=dt.timezone.utc)
+    return int(t.timestamp() * 1000)
+
+
+def parse_tiddlers_json(raw: str) -> list[dict]:
+    """A TiddlyWiki export ``tiddlers.json`` → note rows.
+
+    Reference semantics (tiddlywiki.py:420-489): skip tiddlers carrying a
+    ``$:/tags/`` special tag, fence ``application/json`` payloads, convert
+    wikitext bodies through the shared grammar, split bracketed tags,
+    parse created/modified timestamps.  Image/base64 tiddlers are out of
+    scope here (resource sink handles binaries)."""
+    import json
+
+    rows: list[dict] = []
+    for tiddler in json.loads(raw):
+        tags = tw_split_tags(tiddler.get("tags", ""))
+        if any(t.startswith("$:/tags/") for t in tags):
+            continue
+        mime = tiddler.get("type", "")
+        if mime == "application/json":
+            body = "```\n" + tiddler.get("text", "") + "\n```"
+        else:
+            body = tiddlywiki_to_md(tiddler.get("text", ""))
+        row = {
+            "title": tiddler["title"],
+            "body": body,
+            "tags": ",".join(tags),
+        }
+        if "created" in tiddler:
+            row["created_ms"] = tw_ts_ms(tiddler["created"])
+        if "modified" in tiddler:
+            row["updated_ms"] = tw_ts_ms(tiddler["modified"])
+        rows.append(row)
+    return rows

@@ -78,12 +78,15 @@ JOIN ({webtext.sql_snapshot_drift()}) d ON d.url = u.url
 
 # --- crawl-to-corpus e2e (WARC -> charset -> main content -> C4) -------------
 
-def synth_crawl_html(doc_id: int, text: str) -> str:
+def synth_crawl_html(doc_id: int, text: str, head: str = "") -> str:
     """Chrome-wrapped article with one junk paragraph: exercises the
-    main-content kill/density rules AND the C4 line rules at once."""
+    main-content kill/density rules AND the C4 line rules at once.
+
+    ``head`` is spliced directly (no str.format pass) so braces in the
+    corpus ``text`` can never break synthesis."""
     i = doc_id
     return (
-        "<html><head>{head}</head><body>"
+        f"<html><head>{head}</head><body>"
         '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
         f"<header><h1>SiteName {i}</h1></header>"
         f'<div class="menu"><a href="/a">alpha {i}</a> '
@@ -106,18 +109,18 @@ def synth_crawl_warc(doc_id: int, text: str) -> bytes:
     from jimmy_ray.sources import warc
 
     v = doc_id % 4
-    html = synth_crawl_html(doc_id, text)
+    head = '<meta charset="utf-8">' if v == 0 else ""
+    html = synth_crawl_html(doc_id, text, head)
     if v == 0:
-        ct, body = "text/html", html.format(
-            head='<meta charset="utf-8">').encode("utf-8")
+        ct, body = "text/html", html.encode("utf-8")
     elif v == 1:
         ct = "text/html"
-        body = b"\xff\xfe" + html.format(head="").encode("utf-16-le")
+        body = b"\xff\xfe" + html.encode("utf-16-le")
     elif v == 2:
         ct = "text/html; charset=ISO-8859-1"
-        body = html.format(head="").encode("windows-1252")
+        body = html.encode("windows-1252")
     else:
-        ct, body = "text/html", html.format(head="").encode("windows-1252")
+        ct, body = "text/html", html.encode("windows-1252")
     http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n").encode() + body
     records = [
         warc._record("warcinfo", "", b"software: fixture-crawl\r\n"),

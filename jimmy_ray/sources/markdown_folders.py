@@ -33,6 +33,10 @@ MARKDOWN_LINK_SUFFIXES = MARKDOWN_SUFFIXES + ("",)
 
 QOWNNOTE_LINK_RE = re.compile(r"<(.*?.md)>")
 _FM_TAGS_RE = re.compile(r"^tags:\s*\[([^\]]*)\]\s*$", re.M)
+# real Obsidian property serialization: a block list under ``tags:``
+# (reference parses full YAML via python-frontmatter, obsidian.py:59-61)
+_FM_TAGS_BLOCK_RE = re.compile(r"^tags:[ \t]*\n((?:[ \t]+-[^\n]*(?:\n|$))+)",
+                               re.M)
 
 
 def _suffix(url: str) -> str:
@@ -57,7 +61,13 @@ def parse_frontmatter_tags(body: str) -> tuple[list[str], str]:
         return [], body
     block, rest = body[4:end], body[end + len("\n---\n"):]
     m = _FM_TAGS_RE.search(block)
-    tags = [t.strip() for t in m.group(1).split(",") if t.strip()] if m else []
+    if m:
+        tags = [t.strip() for t in m.group(1).split(",") if t.strip()]
+    else:
+        mb = _FM_TAGS_BLOCK_RE.search(block)
+        tags = [ln.strip().lstrip("-").strip().strip("'\"")
+                for ln in mb.group(1).splitlines()
+                if ln.strip()] if mb else []
     return tags, rest
 
 
@@ -97,10 +107,14 @@ def parse_obsidian(files: dict[str, str]) -> list[dict]:
             if _suffix(link.url) in MARKDOWN_LINK_SUFFIXES:
                 note_links.append(_stem(link.url))
             else:
-                # recursive filename probe (rglob): any member whose
-                # final component matches the unquoted url
+                # recursive filename probe (rglob semantics,
+                # common.py:506-516): any member whose trailing path
+                # components match the unquoted url — bare names AND
+                # relative paths like attachments/file.pdf
                 target = unquote(link.url)
-                if any(p.split("/")[-1] == target for p in files):
+                tparts = target.split("/")
+                if any(p.split("/")[-len(tparts):] == tparts
+                       for p in files):
                     resources.append(target)
         inline = get_inline_tags(body, ("#",))
         fm_tags, body = parse_frontmatter_tags(body)

@@ -212,8 +212,11 @@ def docbook_to_md(payload: bytes) -> str:
     """DocBook article → Markdown blocks joined by blank lines."""
     root = ET.fromstring(payload)
     out: list[str] = []
-    title = root.find("title") or next(
-        (c for c in root if _db_tag(c) == "title"), None)
+    # explicit None check: Element truth-testing is deprecated, and a found
+    # childless <title> is falsy
+    title = root.find("title")
+    if title is None:
+        title = next((c for c in root if _db_tag(c) == "title"), None)
     if title is not None:
         out.append("# " + _db_inline(title))
     for child in root:

@@ -52,6 +52,11 @@ def main() -> int:
     elif not ray.is_initialized():
         ray.init(address="auto")
 
+    from ray.data import DataContext
+
+    # per-op CPU reservation starves short pipelines (see bench.py)
+    DataContext.get_current().op_resource_reservation_enabled = False
+
     from jimmy_ray.pipelines import flagship
 
     stats = flagship.run_flagship(

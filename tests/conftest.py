@@ -16,5 +16,8 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # per-op CPU reservation starves short pipelines at low CPU counts
+    # (see bench.py); disable for the 4-cpu test session too
+    ctx.op_resource_reservation_enabled = False
     yield
     ray.shutdown()

@@ -41,7 +41,7 @@ def test_every_query_has_oracle_or_is_documented():
     allowed_without_oracle = {
         "hexcell_index", "s2_cells", "knn_hex_pruned", "minhash_dedup",
         "simhash_dedup", "embedding_ann_lsh", "embedding_ann_ivf",
-        "embedding_dup_pairs", "embedding_dedup_corpus", "fuzzy_title_match",
+        "embedding_dedup_corpus", "fuzzy_title_match",
         "approx_distinct_tokens", "heavy_hitter_tokens",
         "doc_length_quantiles",  # mergeable sketch: approximate by design
     }
@@ -56,11 +56,28 @@ def test_entry_smoke(ray_session):
 
 
 def test_driver_window_is_the_first_50_queries():
-    """The correctness driver samples the FIRST 50 queries() entries;
-    the round-4 window must stay exactly _DRIVER_WINDOW_R4 (the
-    never-driver-sampled set) regardless of later additions."""
+    """The correctness driver samples the FIRST 50 queries() entries; the
+    window self-rotates from the CORRECTNESS_r*.json ledger, leading with
+    queries that have never had a driver row."""
+    import glob
+    import json
+    import os
+
+    window = entrymod._driver_window()
     names = list(QUERIES)
-    assert len(entrymod._DRIVER_WINDOW_R4) == 50
-    assert names[:50] == entrymod._DRIVER_WINDOW_R4
-    # everything in the window must exist and be oracled or rows-only
-    assert set(entrymod._DRIVER_WINDOW_R4) <= set(QUERIES)
+    assert len(window) == 50
+    assert names[:50] == window
+    assert set(window) <= set(QUERIES)
+
+    sampled: set[str] = set()
+    for path in glob.glob(os.path.join(os.path.dirname(entrymod.__file__),
+                                       "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            sampled.update(json.load(fh).keys())
+    never = [n for n in entrymod._all_queries() if n not in sampled]
+    in_window = [n for n in never if n in window]
+    # every never-sampled query is in the window, up to capacity; any
+    # overflow must come from the explicit demote list
+    overflow = [n for n in never if n not in window]
+    assert len(in_window) == min(len(never), 50)
+    assert set(overflow) <= set(entrymod._WINDOW_DEMOTE)

@@ -316,7 +316,10 @@ def test_surt_key_shape(url):
     assert ")" in key                            # host/path separator
     hostpart = key.split(")", 1)[0]
     assert hostpart == hostpart.lower()
-    assert not hostpart.startswith("www,") and ",www" not in hostpart
+    # only the LEADING www. label is stripped; reversed, it would sit at the
+    # END of the key, so interior/top-level www labels (host b.www.a ->
+    # a,www,b) are legitimate
+    assert not hostpart.endswith(",www") and hostpart != "www"
     # sorted query params: re-keying the key's own url-ish tail is stable
     if "?" in key:
         q = key.rsplit("?", 1)[1]

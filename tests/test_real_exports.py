@@ -89,3 +89,89 @@ def test_real_joplin_jex():
     assert note["notebook"] == "Travel"     # parent_id -> folder item
     assert note["tags"] == "vacation"       # note_tag -> tag item join
     assert note["n_note_links"] == 1        # :/id counted, https not
+
+def test_real_obsidian_vault():
+    from jimmy_ray.sources.markdown_folders import parse_obsidian
+
+    root = DATA / "obsidian_vault"
+    vault = {str(p.relative_to(root)): p.read_text()
+             for p in sorted(root.rglob("*")) if p.is_file()}
+    rows = parse_obsidian(vault)
+    assert rows == _golden("obsidian")
+    by_title = {r["title"]: r for r in rows}
+    # .obsidian/ internal folder and non-markdown files never become notes
+    assert set(by_title) == {"Welcome", "Packing Checklist", "Trip Planning"}
+    trip = by_title["Trip Planning"]
+    # real-shape specifics the synth fixture never exercises: a
+    # path-containing resource url and a block-list frontmatter tags key
+    assert "attachments/boarding pass.pdf" in trip["resources"].split(",")
+    assert by_title["Welcome"]["tags"].split(",")[1:] == [
+        "getting-started", "meta/vault"]
+    # ../ note link resolves by stem, fragment dropped
+    assert "Welcome" in trip["note_links"].split(",")
+    # missing target -> not a resource (reference: find_file_recursively None)
+    assert "missing file.bin" not in by_title["Packing Checklist"]["resources"]
+
+
+def test_real_synology_nsx():
+    from jimmy_ray.sources.synology import parse_nsx
+
+    rows = parse_nsx((DATA / "synology.nsx").read_bytes())
+    assert rows == _golden("synology")
+    meeting, roadmap = rows
+    # notestation:// link resolved to the live note by title match
+    assert meeting["note_links"] == roadmap["note_id"]
+    # ref'd attachment matched through the transparent-gif img ref;
+    # unreferenced attachment is a direct resource
+    assert set(meeting["resources"].split(",")) == {
+        "whiteboard.png", "minutes.docx"}
+    # relative link rebased onto source_url
+    assert "(https://wiki.example.com/plans/q2.html)" in roadmap["body"]
+    # recycle-bin note dropped
+    assert all(r["title"] != "old scratch" for r in rows)
+
+
+def test_real_dayone_journal():
+    import json as _json
+
+    from jimmy_ray.sources.json_exports import parse_dayone_entry
+
+    doc = _json.loads((DATA / "dayone_journal.json").read_text())
+    seen: set[str] = set()
+    rows = [parse_dayone_entry(_json.dumps(e), seen) for e in doc["entries"]]
+    assert rows == _golden("dayone")
+    # same-day entries get the -NNNN title suffix (day_one.py:113-168)
+    assert [r["title"] for r in rows[:2]] == ["2024-05-11", "2024-05-11-0001"]
+    # \ and zero-width scrub applied
+    assert rows[0]["body"].startswith("Slow start.\nFirst coffee on the balcony,")
+    assert rows[0]["tags"].endswith("day-one-starred")
+
+
+def test_real_facebook_posts():
+    from jimmy_ray.sources.containers import parse_facebook_posts
+
+    rows = parse_facebook_posts(
+        (DATA / "facebook" / "your_posts_1.json").read_text())
+    assert rows == _golden("facebook")
+    # real exports hold utf-8 bytes mis-decoded as latin-1; reversed here
+    assert rows[0]["body"].startswith("Großartiger Tag am See mit Freunden…")
+    assert rows[0]["updated_ms"] == 1715418000000   # update_timestamp wins
+    # other-profile (titled) and body-less posts are skipped
+    assert len(rows) == 2
+
+
+def test_real_tiddlywiki_json():
+    from jimmy_ray.md.wikitext import parse_tiddlers_json
+
+    rows = parse_tiddlers_json((DATA / "tiddlers.json").read_text())
+    assert rows == _golden("tiddlywiki")
+    by_title = {r["title"]: r for r in rows}
+    # $:/tags/ special tiddlers skipped; bracketed multi-word tag split
+    assert "$:/palette" not in by_title
+    assert by_title["GettingStarted"]["tags"] == "intro,getting started"
+    # wikitext grammar applied; tiddler links become tiddlywiki:// urls
+    assert "[HelloThere](tiddlywiki://HelloThere)" in by_title["GettingStarted"]["body"]
+    # application/json payloads fenced verbatim
+    assert by_title["settings backup"]["body"] == '```\n{"sidebar": true}\n```'
+    # 17-digit timestamp parsed with milliseconds
+    assert by_title["GettingStarted"]["created_ms"] == 1709288100123
