@@ -76,6 +76,9 @@ _WINDOW_DEMOTE = (
     # same-shaped readers certify the shared template machinery
     "creole_extract",
     "vimwiki_extract",
+    # round-5 additions: must not evict the staged round-4 backlog from
+    # the 50-query window (they have local parity coverage regardless)
+    "pdf_image_features",
 )
 
 
@@ -387,6 +390,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": lambda sf: __import__(
             "jimmy_ray.sources.pdf", fromlist=["x"]
         ).pdf_extract(sf),
+        # embedded-image decode through the from-scratch baseline JPEG
+        # codec (DCTDecode; solid-gray fixture keeps the mean integer-
+        # exact, see sources/pdf.py:synth_pdf_with_images)
+        "pdf_image_features": lambda sf: __import__(
+            "jimmy_ray.sources.pdf", fromlist=["x"]
+        ).pdf_image_features(sf),
         # password-protected 7z archives: AES-256 KDF + Copy/LZMA chains
         # + encrypted headers (test_convert.py:262-298 prep layer)
         "sevenzip_extract": lambda sf: __import__(
@@ -963,6 +972,9 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": __import__(
             "jimmy_ray.sources.pdf", fromlist=["x"]
         ).sql_pdf_extract(),
+        "pdf_image_features": __import__(
+            "jimmy_ray.sources.pdf", fromlist=["x"]
+        ).sql_pdf_image_features(),
         "sevenzip_extract": __import__(
             "jimmy_ray.sources.sevenzip", fromlist=["x"]
         ).sql_sevenzip_extract(),

@@ -698,10 +698,14 @@ def extract_pdf_text(payload: bytes, password: str = "") -> str:
             d, body = got
             if b"/XRef" in d:
                 continue
+            if b"/Subtype" in d and b"/Image" in d:
+                continue  # image XObjects: no text; extract_pdf_images
             _scan_text_blocks(body, lines)
     else:
         for m in _OBJ_STREAM_RE.finditer(payload):
             d = m.group(3)
+            if b"/Subtype" in d and b"/Image" in d:
+                continue  # image XObjects: no text; extract_pdf_images
             length = _dict_int(d, b"Length")
             body = None
             if length is not None:
@@ -715,6 +719,82 @@ def extract_pdf_text(payload: bytes, password: str = "") -> str:
                 body = crypt.decrypt(int(m.group(1)), int(m.group(2)), body)
             _scan_text_blocks(decode_stream(d, body), lines)
     return "\n".join(lines)
+
+
+def extract_pdf_images(payload: bytes, password: str = "") -> list[dict]:
+    """Image XObjects → decoded feature rows.
+
+    Scans stream objects whose dict carries ``/Subtype /Image``.
+    ``DCTDecode`` bodies decode through the from-scratch baseline JPEG
+    codec (jimmy_ray.codecs.jpeg — the reference gets this via
+    pdf_oxide, converter.py:295-306); Flate/LZW/… chains ahead of the
+    image codec are applied first.  JBIG2/JPX/CCITT and non-baseline
+    JPEG modes stay a documented boundary: the row is returned with
+    ``decoded=False`` instead of raising, so one exotic image never
+    poisons a document (SURVEY §2.9 row-level fault isolation)."""
+    from jimmy_ray.codecs import jpeg
+
+    crypt = _security_handler(payload, password)
+    rows: list[dict] = []
+    for m in _OBJ_STREAM_RE.finditer(payload):
+        d = m.group(3)
+        if b"/Subtype" not in d or b"/Image" not in d:
+            continue
+        length = _dict_int(d, b"Length")
+        body = None
+        if length is not None:
+            tail = payload[m.end() + length:m.end() + length + 16]
+            if tail.lstrip().startswith(b"endstream"):
+                body = payload[m.end():m.end() + length]
+        if body is None:
+            end = payload.find(b"endstream", m.end())
+            body = payload[m.end():end].rstrip(b"\r\n")
+        if crypt is not None:
+            body = crypt.decrypt(int(m.group(1)), int(m.group(2)), body)
+        row = {
+            "obj": int(m.group(1)),
+            "width": _dict_int(d, b"Width", 0),
+            "height": _dict_int(d, b"Height", 0),
+            "n_bytes": len(body),
+            "channels": 0,
+            "mean_luma_milli": 0,
+            "decoded": False,
+        }
+        try:
+            if b"/DCTDecode" in d:
+                # apply any pre-codec filters (e.g. [/FlateDecode
+                # /DCTDecode] chains), then the JPEG codec
+                pre = d.replace(b"/DCTDecode", b"")
+                if _FILTER_NAME_RE.search(pre):
+                    body = decode_stream(pre, body)
+                img = jpeg.decode(body)
+            else:
+                body = decode_stream(d, body)
+                bpc = _dict_int(d, b"BitsPerComponent", 8)
+                if bpc != 8:
+                    raise NotImplementedError(f"{bpc}-bit raw image")
+                import numpy as np
+
+                h, w = row["height"], row["width"]
+                n = len(body) // max(1, h * w)
+                img = np.frombuffer(
+                    body[:h * w * n], dtype=np.uint8).reshape(h, w, n)
+                if n == 1:
+                    img = img[:, :, 0]
+        except (NotImplementedError, ValueError):
+            rows.append(row)
+            continue
+        luma = img if img.ndim == 2 else (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+        row.update({
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "channels": 1 if img.ndim == 2 else int(img.shape[2]),
+            "mean_luma_milli": int(round(float(luma.mean()) * 1000)),
+            "decoded": True,
+        })
+        rows.append(row)
+    return rows
 
 
 FIXTURE_PDF_PASSWORD = ""  # empty user password, the common real case
@@ -862,5 +942,81 @@ def sql_pdf_extract() -> str:
     return f"""
 SELECT doc_id,
   'Doc ' || {i} || chr(10) || text || chr(10) || 'tail ' || {i} AS text
+FROM documents
+"""
+
+
+def synth_pdf_with_images(doc_id: int, text: str) -> bytes:
+    """Single-page PDF embedding one solid-gray baseline-JPEG image
+    XObject.  Solid blocks survive DCT quantization exactly when the
+    gray level is 128 ± an even offset (DC = (v-128)·8 is divisible by
+    the luma quantizer 16 after /8 scaling), so the decoded mean luma is
+    integer-exact and SQL-mirrorable while still exercising the real
+    Huffman + IDCT path end-to-end."""
+    import numpy as np
+
+    from jimmy_ray.codecs import jpeg
+
+    v = 128 + 2 * (doc_id % 50)
+    w = 5 + doc_id % 20
+    h = 4 + doc_id % 15
+    jp = jpeg.encode(np.full((h, w), v, np.uint8))
+    content = (f"BT /F1 12 Tf 72 720 Td (Doc {doc_id}: "
+               f"{pdf_escape(text[:40])}) Tj ET").encode("utf-8")
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /XObject << /Im0 4 0 R >> >> /Contents 5 0 R >> endobj",
+        b"4 0 obj << /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n" % (w, h, len(jp))
+        + jp + b"\nendstream endobj",
+        b"5 0 obj << /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream endobj",
+    ]
+    return (b"%PDF-1.4\n" + b"\n".join(objs)
+            + b"\ntrailer << /Root 1 0 R /Size 6 >>\n%%EOF")
+
+
+def pdf_image_features(sf_dir: str):
+    """Per-document embedded-image decode: (doc_id, width, height,
+    channels, mean_luma_milli, decoded) through the real JPEG codec."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        rows = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            imgs = extract_pdf_images(synth_pdf_with_images(i, t))
+            rows.append(imgs[0])
+        import pyarrow as _pa
+
+        return _pa.table({
+            "doc_id": batch["doc_id"],
+            "width": _pa.array([r["width"] for r in rows], _pa.int64()),
+            "height": _pa.array([r["height"] for r in rows], _pa.int64()),
+            "channels": _pa.array([r["channels"] for r in rows],
+                                  _pa.int64()),
+            "mean_luma_milli": _pa.array(
+                [r["mean_luma_milli"] for r in rows], _pa.int64()),
+            "decoded": _pa.array([r["decoded"] for r in rows],
+                                 _pa.bool_()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def sql_pdf_image_features() -> str:
+    return """
+SELECT doc_id,
+  CAST(5 + doc_id % 20 AS BIGINT) AS width,
+  CAST(4 + doc_id % 15 AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST((128 + 2 * (doc_id % 50)) * 1000 AS BIGINT) AS mean_luma_milli,
+  TRUE AS decoded
 FROM documents
 """

@@ -44,12 +44,15 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode would use PIL/cv2 — NOT AVAILABLE in this container.
+    """Dispatch by magic bytes.  Baseline JPEG decodes for real through
+    the from-scratch codec (jimmy_ray.codecs.jpeg); other formats (PNG,
+    WebP, …) still raise — PIL/cv2 are NOT AVAILABLE in this container,
+    so callers exercise the fallback path for them.  When a codec library
+    exists, extend the dispatch; the stage interface does not change."""
+    if payload[:2] == b"\xff\xd8":
+        from jimmy_ray.codecs import jpeg
 
-    STUB: raises so callers exercise the fallback path.  When a codec
-    library exists, replace the body with the actual decode; the stage
-    interface does not change.
-    """
+        return jpeg.decode(payload)
     raise NotImplementedError("image codecs not available in this environment")
 
 
