@@ -135,6 +135,7 @@ def flagship_result(sf_dir: str):
 
     return (
         spatial_join(sf_dir)
+        .repartition(8)  # coalesce tiny blocks before the sort-groupby
         .groupby("polygon_id")
         .aggregate(Count(alias_name="n_pages"))
     )

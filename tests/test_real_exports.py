@@ -175,3 +175,83 @@ def test_real_tiddlywiki_json():
     assert by_title["settings backup"]["body"] == '```\n{"sidebar": true}\n```'
     # 17-digit timestamp parsed with milliseconds
     assert by_title["GettingStarted"]["created_ms"] == 1709288100123
+
+def test_real_simplenote_export():
+    from jimmy_ray.sources.flatjson import parse_simplenote
+
+    rows = parse_simplenote((DATA / "simplenote_notes.json").read_text())
+    assert rows == _golden("simplenote")
+    assert [r["title"] for r in rows] == ["Grocery run", "Meal plan"]
+    # internal simplenote:// link resolves to the other note's id
+    assert rows[0]["note_links"] == "9f1b2c3d4e5f60718293a4b5c6d7e8f9"
+    assert rows[1]["note_links"] == ""
+    # trashedNotes never surface
+    assert all("never surface" not in r["body"] for r in rows)
+
+
+def test_real_drafts_export():
+    from jimmy_ray.sources.flatjson import parse_drafts
+
+    rows = parse_drafts((DATA / "drafts_export.json").read_text())
+    assert rows == _golden("drafts")
+    assert rows[0]["grammar"] == "Markdown"
+    assert rows[1]["grammar"] == "plain-text-fallback"   # Taskpaper
+    assert rows[2]["grammar"] == "Plain Text"
+    # single-line draft: the whole content is the title, body keeps it
+    assert rows[2]["title"].startswith("One-liner")
+    assert rows[0]["tags"] == "work,standup"
+
+
+def test_real_standard_notes_backup():
+    import json as _json
+
+    import pyarrow as _pa
+
+    from jimmy_ray.sources.standard_notes import _note_rows, _tag_pairs
+
+    doc = _json.loads((DATA / "standard_notes_backup.json").read_text())
+    assert doc["version"] == "004"
+    items = _pa.table({"item": _pa.array(
+        [_json.dumps(it) for it in doc["items"]], _pa.string())})
+    notes = _note_rows(items).to_pylist()
+    tags = _tag_pairs(items).to_pylist()
+    assert {"notes": notes, "tags": tags} == _golden("standard_notes")
+    # deleted note and non-Note/Tag items never surface
+    assert [n["title"] for n in notes] == ["Reading list", "Meeting sketch"]
+    # the super note rendered through the Lexical walker
+    assert notes[1]["body"] == "# Agenda\n\n**bold point**"
+    # tag references invert note-ward
+    by_note = {}
+    for t in tags:
+        by_note.setdefault(t["uuid"], []).append(t["tag"])
+    assert sorted(by_note["b1946ac9-2a5e-4f0b-bb1a-111111111111"]) == [
+        "books", "work"]
+
+
+def test_real_upnote_backup():
+    from jimmy_ray.sources.upnote import parse_upnx
+
+    rows = parse_upnx((DATA / "upnote_backup.upnx").read_bytes())
+    assert rows == _golden("upnote")
+    by_title = {r["title"]: r for r in rows}
+    # organizer-routed and list-routed notes both resolve their notebook
+    assert by_title["Trip ideas"]["notebook"] == "Travel"
+    assert by_title["Packing"]["notebook"] == "Travel"
+    # the __ -> . file-id decode resolves the attachment name
+    assert by_title["Trip ideas"]["file_name"] == "beach sunset.png"
+    assert by_title["Packing"]["file_name"] == ""
+
+
+def test_real_dynalist_export():
+    from jimmy_ray.sources.folders import parse_dynalist
+
+    rows = parse_dynalist((DATA / "dynalist_export.zip").read_bytes())
+    assert rows == _golden("dynalist")
+    by_title = {r["title"]: r for r in rows}
+    # dynalist.io/d links resolve only when a matching .txt exists
+    assert by_title["inbox"]["note_links"] == "reading list"
+    # nested folder becomes the notebook; opml twins skipped
+    assert by_title["reading list"]["notebook"] == "personal"
+    assert len(rows) == 3
+    # both # and @ inline tags
+    assert set(by_title["inbox"]["tags"].split(",")) >= {"errands", "next"}
