@@ -79,6 +79,9 @@ _WINDOW_DEMOTE = (
     # round-5 additions: must not evict the staged round-4 backlog from
     # the 50-query window (they have local parity coverage regardless)
     "pdf_image_features",
+    "djot_extract",
+    "typst_extract",
+    "endnote_extract",
 )
 
 
@@ -449,6 +452,17 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docbook_extract": lambda sf: __import__(
             "jimmy_ray.sources.markup_tail", fromlist=["x"]
         ).docbook_extract(sf),
+        # final pandoc-gap tier (S2 long tail closed): Djot, Typst,
+        # EndNote XML native subset converters
+        "djot_extract": lambda sf: __import__(
+            "jimmy_ray.sources.pandoc_tail", fromlist=["x"]
+        ).djot_extract(sf),
+        "typst_extract": lambda sf: __import__(
+            "jimmy_ray.sources.pandoc_tail", fromlist=["x"]
+        ).typst_extract(sf),
+        "endnote_extract": lambda sf: __import__(
+            "jimmy_ray.sources.pandoc_tail", fromlist=["x"]
+        ).endnote_extract(sf),
         "url_canonicalize": lambda sf: __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).url_canonicalize(sf),
@@ -1026,6 +1040,15 @@ def oracle_sql() -> dict[str, str]:
         "docbook_extract": __import__(
             "jimmy_ray.sources.markup_tail", fromlist=["x"]
         ).sql_docbook_extract(),
+        "djot_extract": __import__(
+            "jimmy_ray.sources.pandoc_tail", fromlist=["x"]
+        ).sql_djot_extract(),
+        "typst_extract": __import__(
+            "jimmy_ray.sources.pandoc_tail", fromlist=["x"]
+        ).sql_typst_extract(),
+        "endnote_extract": __import__(
+            "jimmy_ray.sources.pandoc_tail", fromlist=["x"]
+        ).sql_endnote_extract(),
         "url_canonicalize": __import__(
             "jimmy_ray.functions.webtext", fromlist=["x"]
         ).sql_url_canonicalize(),

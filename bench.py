@@ -155,11 +155,14 @@ def run_bench() -> dict:
 
     # q3: broadcast cell-indexed point-in-polygon join (headline) —
     # task path with per-worker cached index (no actor pool spin-up);
-    # same pre-groupby coalesce (8.7s -> 5.8s at 16 CPUs)
+    # map-side per-polygon partial counts so the exchange ships polygons,
+    # not pages (un-combined, the 16.2M-row coalesce capped this stage at
+    # 1.6x for 4x cores), then the same tiny-partial coalesce + groupby
     timed("spatial_join", lambda: points_ds().map_batches(
-        sp.spatial_join_batch, batch_format="pyarrow", batch_size=32768
+        sp.polygon_count_partial_batch, batch_format="pyarrow",
+        batch_size=32768
     ).repartition(8).groupby("polygon_id")
-     .aggregate(Count(alias_name="n_pages")).count(), reruns=1)
+     .aggregate(Sum("p_n", alias_name="n_pages")).count(), reruns=1)
 
     # q4: salted shuffle join variant (the all-to-all exchange path)
     timed("spatial_join_shuffle", lambda: sp.spatial_join_shuffle(points_ds()).count())

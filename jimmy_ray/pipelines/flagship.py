@@ -130,12 +130,16 @@ def run_flagship(sf_dir: str, out_dir: str, n_partitions: int = 16,
 
 def flagship_result(sf_dir: str):
     """entry() result: join counts per polygon — exercises extract →
-    geocode → cells → broadcast join → aggregate end-to-end."""
-    from ray.data.aggregate import Count
+    geocode → cells → broadcast join → aggregate end-to-end.  Map-side
+    partial counts so the exchange ships polygons, not pages (the
+    tile_count combiner pattern)."""
+    from ray.data.aggregate import Sum
 
     return (
-        spatial_join(sf_dir)
-        .repartition(8)  # coalesce tiny blocks before the sort-groupby
+        geo_points(sf_dir)
+        .map_batches(sp.polygon_count_partial_batch,
+                     batch_format="pyarrow", batch_size=4096)
+        .repartition(8)  # coalesce tiny partials before the sort-groupby
         .groupby("polygon_id")
-        .aggregate(Count(alias_name="n_pages"))
+        .aggregate(Sum("p_n", alias_name="n_pages"))
     )

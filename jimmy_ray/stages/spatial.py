@@ -333,6 +333,19 @@ def spatial_join_batch(batch: pa.Table) -> pa.Table:
     return _default_join_stage()(batch)
 
 
+def polygon_count_partial_batch(batch: pa.Table) -> pa.Table:
+    """Partial per-polygon counts over spatial_join output (A1 combiner):
+    the exchange ships one row per polygon per batch instead of one row
+    per matched page — at 16.2M pages the un-combined groupby moved every
+    (url, polygon_id) row through the coalesce and capped spatial_join
+    scaling at 1.6x for 4x cores."""
+    joined = spatial_join_batch(batch)
+    ids = joined["polygon_id"].to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(ids, return_counts=True)
+    return pa.table({"polygon_id": pa.array(uniq),
+                     "p_n": pa.array(counts, pa.int64())})
+
+
 def tile_count_partial_batch(batch: pa.Table) -> pa.Table:
     """Vectorized partial tile counts (A1 combiner): emit one row per tile
     per batch so the global groupby shuffles tiles, not pages."""
