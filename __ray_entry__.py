@@ -82,6 +82,7 @@ _WINDOW_DEMOTE = (
     "djot_extract",
     "typst_extract",
     "endnote_extract",
+    "pdf_jbig2_features",
 )
 
 
@@ -399,6 +400,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pdf_image_features": lambda sf: __import__(
             "jimmy_ray.sources.pdf", fromlist=["x"]
         ).pdf_image_features(sf),
+        # JBIG2Decode image XObjects through the from-scratch MQ-coder
+        # generic-region codec; doc_id routes across GBTEMPLATE 0-3 ×
+        # TPGDON (sources/pdf.py:synth_pdf_with_jbig2)
+        "pdf_jbig2_features": lambda sf: __import__(
+            "jimmy_ray.sources.pdf", fromlist=["x"]
+        ).pdf_jbig2_features(sf),
         # password-protected 7z archives: AES-256 KDF + Copy/LZMA chains
         # + encrypted headers (test_convert.py:262-298 prep layer)
         "sevenzip_extract": lambda sf: __import__(
@@ -989,6 +996,9 @@ def oracle_sql() -> dict[str, str]:
         "pdf_image_features": __import__(
             "jimmy_ray.sources.pdf", fromlist=["x"]
         ).sql_pdf_image_features(),
+        "pdf_jbig2_features": __import__(
+            "jimmy_ray.sources.pdf", fromlist=["x"]
+        ).sql_pdf_jbig2_features(),
         "sevenzip_extract": __import__(
             "jimmy_ray.sources.sevenzip", fromlist=["x"]
         ).sql_sevenzip_extract(),

@@ -114,12 +114,9 @@ def open_apkg_collection(apkg_path: str) -> str:
     raise ValueError("no collection database inside .apkg")
 
 
-def anki_extract(sf_dir: str):
-    """.apkg container -> collection db -> distributed conversion."""
-    import ray.data as rd
-
-    db = open_apkg_collection(_fixture_apkg(sf_dir))
-    con = sqlite3.connect(db)
+def _load_collection(db_path: str):
+    """col/cards/notes walk shared by the Ray path and parse_apkg."""
+    con = sqlite3.connect(db_path)
     try:
         ver, models_json, decks_json = con.execute(
             "SELECT ver, models, decks FROM col"
@@ -134,6 +131,48 @@ def anki_extract(sf_dir: str):
         ).fetchall()
     finally:
         con.close()
+    return models, decks, note_deck, rows
+
+
+def convert_note(note_index: int, note_id: int, mid: str, tags: str,
+                 flds: str, models: dict, decks: dict,
+                 note_deck: dict) -> dict:
+    """One note's conversion (anki.py:125-157 semantics)."""
+    field_names = [f["name"] for f in models[mid]["flds"]]
+    values = flds.split(FIELD_SEP)
+    body = "\n".join(
+        f"- {k}: {v}" for k, v in zip(field_names, values, strict=True))
+    return {
+        "doc_id": note_id,
+        "title": f"note_{note_index:010}",
+        "body": _cleanup(body),
+        "deck": decks[str(note_deck[note_id])]["name"],
+        "tags": ",".join(t for t in tags.strip().split(" ") if t),
+    }
+
+
+def parse_apkg(apkg_path: str) -> list[dict]:
+    """Serial kernel over one real .apkg (tests / small containers)."""
+    db = open_apkg_collection(apkg_path)
+    try:
+        models, decks, note_deck, rows = _load_collection(db)
+    finally:
+        os.unlink(db)
+    return [
+        convert_note(i, nid, str(mid), tags, flds, models, decks,
+                     note_deck)
+        for i, (nid, mid, tags, flds) in enumerate(rows)
+    ]
+
+
+def anki_extract(sf_dir: str):
+    """.apkg container -> collection db -> distributed conversion."""
+    import ray.data as rd
+
+    db = open_apkg_collection(_fixture_apkg(sf_dir))
+    try:
+        models, decks, note_deck, rows = _load_collection(db)
+    finally:
         os.unlink(db)  # the scratch copy extracted from the .apkg
 
     table = pa.table({
@@ -146,27 +185,18 @@ def anki_extract(sf_dir: str):
     ds = rd.from_arrow(table)
 
     def convert(batch: pd.DataFrame) -> pd.DataFrame:
-        titles, bodies, deck_names, tag_cols = [], [], [], []
-        for _, row in batch.iterrows():
-            field_names = [f["name"] for f in models[row["mid"]]["flds"]]
-            values = row["flds"].split(FIELD_SEP)
-            body = "\n".join(
-                f"- {k}: {v}" for k, v in zip(field_names, values, strict=True)
-            )
-            titles.append(f"note_{int(row['note_index']):010}")
-            bodies.append(_cleanup(body))
-            deck_names.append(
-                decks[str(note_deck[int(row["note_id"])])]["name"]
-            )
-            tag_cols.append(
-                ",".join(t for t in row["tags"].strip().split(" ") if t)
-            )
+        out = [
+            convert_note(int(row["note_index"]), int(row["note_id"]),
+                         row["mid"], row["tags"], row["flds"],
+                         models, decks, note_deck)
+            for _, row in batch.iterrows()
+        ]
         return pd.DataFrame({
-            "doc_id": batch["note_id"].astype("int64"),
-            "title": titles,
-            "body": bodies,
-            "deck": deck_names,
-            "tags": tag_cols,
+            "doc_id": pd.Series([r["doc_id"] for r in out], dtype="int64"),
+            "title": [r["title"] for r in out],
+            "body": [r["body"] for r in out],
+            "deck": [r["deck"] for r in out],
+            "tags": [r["tags"] for r in out],
         })
 
     return ds.map_batches(convert, batch_format="pandas", batch_size=512)

@@ -726,10 +726,12 @@ def extract_pdf_images(payload: bytes, password: str = "") -> list[dict]:
 
     Scans stream objects whose dict carries ``/Subtype /Image``.
     ``DCTDecode`` bodies decode through the from-scratch baseline JPEG
-    codec (jimmy_ray.codecs.jpeg — the reference gets this via
-    pdf_oxide, converter.py:295-306); Flate/LZW/… chains ahead of the
-    image codec are applied first.  JBIG2/JPX/CCITT and non-baseline
-    JPEG modes stay a documented boundary: the row is returned with
+    codec (jimmy_ray.codecs.jpeg) and ``JBIG2Decode`` bodies through the
+    from-scratch generic-region JBIG2 codec (jimmy_ray.codecs.jbig2) —
+    the reference gets both via pdf_oxide, converter.py:295-306;
+    Flate/LZW/… chains ahead of the image codec are applied first.
+    JPX/CCITT, MMR- or symbol-coded JBIG2 and non-baseline JPEG modes
+    stay a documented boundary: the row is returned with
     ``decoded=False`` instead of raising, so one exotic image never
     poisons a document (SURVEY §2.9 row-level fault isolation)."""
     from jimmy_ray.codecs import jpeg
@@ -758,6 +760,7 @@ def extract_pdf_images(payload: bytes, password: str = "") -> list[dict]:
             "n_bytes": len(body),
             "channels": 0,
             "mean_luma_milli": 0,
+            "black_px": 0,
             "decoded": False,
         }
         try:
@@ -768,6 +771,19 @@ def extract_pdf_images(payload: bytes, password: str = "") -> list[dict]:
                 if _FILTER_NAME_RE.search(pre):
                     body = decode_stream(pre, body)
                 img = jpeg.decode(body)
+            elif b"/JBIG2Decode" in d:
+                from jimmy_ray.codecs import jbig2
+
+                pre = d.replace(b"/JBIG2Decode", b"")
+                if _FILTER_NAME_RE.search(pre):
+                    body = decode_stream(pre, body)
+                # self-contained embedded streams only; /JBIG2Globals
+                # symbol dictionaries raise inside decode() → row stays
+                # decoded=False
+                import numpy as np
+
+                bitmap = jbig2.decode(body)  # 1 = black
+                img = np.where(bitmap, 0, 255).astype(np.uint8)
             else:
                 body = decode_stream(d, body)
                 bpc = _dict_int(d, b"BitsPerComponent", 8)
@@ -791,6 +807,7 @@ def extract_pdf_images(payload: bytes, password: str = "") -> list[dict]:
             "height": int(img.shape[0]),
             "channels": 1 if img.ndim == 2 else int(img.shape[2]),
             "mean_luma_milli": int(round(float(luma.mean()) * 1000)),
+            "black_px": int((luma == 0).sum()),
             "decoded": True,
         })
         rows.append(row)
@@ -1017,6 +1034,79 @@ SELECT doc_id,
   CAST(4 + doc_id % 15 AS BIGINT) AS height,
   CAST(1 AS BIGINT) AS channels,
   CAST((128 + 2 * (doc_id % 50)) * 1000 AS BIGINT) AS mean_luma_milli,
+  TRUE AS decoded
+FROM documents
+"""
+
+
+def synth_pdf_with_jbig2(doc_id: int) -> bytes:
+    """Single-page fixture PDF embedding one JBIG2-coded bilevel image
+    XObject.  The pattern sets pixel k (raster order) iff
+    ``(k + doc_id) % 3 == 0`` — an exactly SQL-expressible black-pixel
+    count — while ``doc_id`` routes across every arithmetic decode
+    path: GBTEMPLATE = doc_id % 4, TPGDON = (doc_id // 4) % 2.  The
+    decoded bitmap is identical in all eight variants, so one SQL
+    mirror covers each branch (same routing trick as pdf_extract)."""
+    import numpy as np
+
+    from jimmy_ray.codecs import jbig2
+
+    w = 6 + doc_id % 17
+    h = 5 + doc_id % 13
+    k = np.arange(h * w, dtype=np.int64)
+    img = (((k + doc_id) % 3) == 0).astype(np.uint8).reshape(h, w)
+    body = jbig2.encode(img, template=doc_id % 4,
+                        tpgdon=bool((doc_id // 4) % 2))
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /XObject << /Im0 4 0 R >> >> >> endobj",
+        b"4 0 obj << /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /JBIG2Decode /Length %d >>\nstream\n" % (w, h, len(body))
+        + body + b"\nendstream endobj",
+    ]
+    return (b"%PDF-1.4\n" + b"\n".join(objs)
+            + b"\ntrailer << /Root 1 0 R /Size 5 >>\n%%EOF")
+
+
+def pdf_jbig2_features(sf_dir: str):
+    """Per-document JBIG2 image decode: (doc_id, width, height,
+    black_px, decoded) through the real MQ-arithmetic generic-region
+    codec (black_px counts decoded 1-pixels = mean-luma analogue for
+    bilevel masks)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch["doc_id"].to_pylist():
+            r = extract_pdf_images(synth_pdf_with_jbig2(i))[0]
+            rows.append((r["width"], r["height"], r["black_px"],
+                         r["decoded"]))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array([r[0] for r in rows], pa.int64()),
+            "height": pa.array([r[1] for r in rows], pa.int64()),
+            "black_px": pa.array([r[2] for r in rows], pa.int64()),
+            "decoded": pa.array([r[3] for r in rows], pa.bool_()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def sql_pdf_jbig2_features() -> str:
+    # black pixels = |{k in [0, w*h) : (k + doc_id) % 3 == 0}|
+    #              = (w*h - first_k + 2) // 3, first_k = (3 - d%3) % 3
+    return """
+SELECT doc_id,
+  CAST(6 + doc_id % 17 AS BIGINT) AS width,
+  CAST(5 + doc_id % 13 AS BIGINT) AS height,
+  CAST(((6 + doc_id % 17) * (5 + doc_id % 13)
+        - ((3 - doc_id % 3) % 3) + 2) // 3 AS BIGINT) AS black_px,
   TRUE AS decoded
 FROM documents
 """

@@ -255,3 +255,97 @@ def test_real_dynalist_export():
     assert len(rows) == 3
     # both # and @ inline tags
     assert set(by_title["inbox"]["tags"].split(",")) >= {"errands", "next"}
+
+
+def test_real_wordpress_wxr():
+    from jimmy_ray.sources.wordpress import parse_wxr
+
+    rows = parse_wxr((DATA / "wordpress_export.xml").read_bytes())
+    assert rows == _golden("wordpress")
+    # nav_menu_item / wp_global_styles / wp_navigation items skipped;
+    # post + page + attachment survive
+    assert [r["title"] for r in rows] == [
+        "Packrafting the Soča — lessons learned", "About", "soca-putin.jpg"]
+    post = rows[0]
+    # CDATA-wrapped Gutenberg content: block comments dropped, &nbsp; and
+    # numeric entities decoded, category + post_tag domains + sticky tag
+    assert post["tags"] == "Trip reports,packraft,sticky"
+    assert "<!-- wp:paragraph -->" not in post["body"]
+    assert "Trnovo ob Soči" in post["body"]
+    assert post["body"].startswith(
+        "Three days on the [Soča](https://en.wikipedia.org/wiki/So%C4%8Da)")
+    assert rows[1]["created"] == "2023-01-02 08:00:00"
+
+
+def test_real_mime_message():
+    import pyarrow as pa
+
+    from jimmy_ray.sources.eml import parse_eml_batch
+
+    raw = (DATA / "mime_message.eml").read_bytes()
+    t = parse_eml_batch(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "raw": pa.array([raw], pa.binary()),
+    }))
+    row = t.to_pylist()[0]
+    row.pop("doc_id")
+    assert row == _golden("eml")
+    # RFC 2047 encoded-word subject decoded by the modern email policy
+    assert row["subject"] == "Café Frühstück – Freitag?"
+    # multipart/mixed(alternative(plain, html), pdf): 3 leaf parts, body
+    # is the first text/plain with quoted-printable soft breaks rejoined
+    assert row["n_parts"] == 3
+    assert "großartig – sagt Bescheid" in row["body"]
+    assert "<div" not in row["body"]
+
+
+def test_real_epub_book():
+    from jimmy_ray.sources.epub import epub_to_markdown
+
+    md = epub_to_markdown((DATA / "lighthouse.epub").read_bytes())
+    assert md == _golden("epub")
+    # EPUB 2.0 shape: OPS/ subfolder rootfile, hrefs resolved against the
+    # OPF base, ncx/css/cover manifest items never rendered, spine order
+    assert md.startswith("# The Lighthouse Logbook")
+    assert md.index("I. The Keeper Arrives") < md.index("II. Fog Season")
+    assert "navMap" not in md and "text-align" not in md
+    # XHTML numeric entities decode (&#8212; em dash)
+    assert "— *one hundred and nine* —" in md
+
+
+def test_real_anki_apkg():
+    from jimmy_ray.sources.anki import parse_apkg
+
+    rows = parse_apkg(str(DATA / "flashcards.apkg"))
+    assert rows == _golden("anki")
+    # collection.anki21 preferred over the bundled older anki2 snapshot
+    assert all("DECOY" not in r["body"] for r in rows)
+    # real schema-11 col/notes/cards tables read by column name; a
+    # 3-field model zips strictly against its flds declaration
+    assert rows[1]["body"] == "- Word: 山\n- Reading: やま\n- Meaning: mountain"
+    # :: subdeck names survive; HTML remnants scrubbed per anki.py:141-147
+    assert rows[1]["deck"] == "Japanese::N5 Vocab"
+    assert "<div>" not in rows[0]["body"] and "&nbsp;" not in rows[0]["body"]
+
+
+def test_real_nimbus_note_zip():
+    from jimmy_ray.sources.nimbus import improve_note_links, parse_nimbus_zip
+
+    payload = (DATA / "nimbus_note.zip").read_bytes()
+    got = parse_nimbus_zip(payload, "fallback")
+    assert got == _golden("nimbus")
+    # branches the synth fixture never takes: a direct nimbusnote:// link,
+    # a #anchor link (skipped), a nimbusweb.me share link (skipped)
+    assert got["note_links"] == ["Piotr Nowak", "Sprint 23 planning"]
+    assert "(#decisions)" in got["body"]
+    assert "nimbusweb.me" in got["body"]  # stays a plain web link
+    # wrong-suffix img ref recovers via stem match; unreferenced asset
+    # appended; theme.css skipped
+    assert got["resources"] == [
+        "Burndown Chart.png", "velocity.csv", "export.json"]
+    # duplicated https:https:// scheme collapsed in the body
+    assert "https:https://" not in got["body"]
+    assert "(https://jira.example.com/browse/PROJ-88)" in got["body"]
+    # second-pass fuzzy resolution against the export title map
+    assert improve_note_links(
+        got["note_links"][1:], {"n1": "Sprint 23 planning"}) == ["n1"]
