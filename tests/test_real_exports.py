@@ -349,3 +349,103 @@ def test_real_nimbus_note_zip():
     # second-pass fuzzy resolution against the export title map
     assert improve_note_links(
         got["note_links"][1:], {"n1": "Sprint 23 planning"}) == ["n1"]
+
+
+def test_real_cacher_library():
+    from jimmy_ray.sources.flatjson2 import parse_cacher
+
+    rows = parse_cacher((DATA / "cacher_export.json").read_text())
+    assert rows == _golden("cacher")
+    by_title = {r["title"]: r for r in rows}
+    # only markdown files convert (deploy.sh skipped); snippet title is
+    # the notebook, filename stem (spaces kept) the title, h1 stripped
+    assert set(by_title) == {"rollback steps", "2024-05-02 sync", "ideas"}
+    assert not by_title["rollback steps"]["body"].startswith("# ")
+    # two labels referencing the same snippet guid both join
+    assert by_title["rollback steps"]["tags"] == "shell,favorites"
+    # label-less snippet -> empty tags; headingless file keeps its body
+    assert by_title["ideas"]["tags"] == ""
+    assert by_title["ideas"]["body"] == "no heading, just a line of thought"
+
+
+def test_real_clipto_export():
+    from jimmy_ray.sources.flatjson2 import parse_clipto
+
+    rows = parse_clipto((DATA / "clipto_export.json").read_text())
+    assert rows == _golden("clipto")
+    # untitled note: first line becomes the title (h1=False split)
+    assert rows[1]["title"] == "Standup notes Tuesday"
+    assert rows[1]["body"].startswith("blocked on the staging certs")
+    # tagIds join against filters; unknown uid silently ignored
+    assert rows[0]["tags"] == "recipes,work"
+    assert rows[1]["tags"] == "work"
+    # single-line untitled note -> empty body
+    assert rows[2]["body"] == ""
+
+
+def test_real_turtl_backup():
+    from jimmy_ray.sources.flatjson2 import parse_turtl
+
+    rows = parse_turtl((DATA / "turtl_backup.json").read_text())
+    assert rows == _golden("turtl")
+    by_title = {r["title"]: r for r in rows}
+    # board in the note's space -> board title; null board -> space title;
+    # board from ANOTHER space -> empty notebook (turtl.py lookup guard)
+    assert by_title["Sourdough timing"]["notebook"] == "Recipes"
+    assert by_title["Registry login"]["notebook"] == "Work"
+    assert by_title["Pickling guide"]["notebook"] == ""
+    # password note renders credential bullets; commas survive in body
+    assert "- Password: `s3cr3t,w1th,commas`" in by_title["Registry login"]["body"]
+    # image suffix -> resource, non-web link + file attachment -> note links
+    assert by_title["Sourdough timing"]["resources"] == "crumb-2024.jpg"
+    assert by_title["Sourdough timing"]["note_links"] == "bake log,starter schedule"
+    # unknown note type degrades to empty body, keeps metadata
+    assert by_title["Voice memo"]["body"] == ""
+
+
+def test_real_reflect_export():
+    from jimmy_ray.sources.flatjson2 import parse_reflect
+
+    rows = parse_reflect((DATA / "reflect_export.json").read_text())
+    assert rows == _golden("reflect")
+    plan = rows[0]
+    # heading level 1 takes no leading blank line (level>1 branch only)
+    assert plan["body"].startswith("# Garden plan 2024")
+    # the full mark set incl. the ones the synth fixture skips
+    for frag in ("++south bed++", "==garlic==", "~~No more zucchini.~~",
+                 "`80 EUR`", "[*the usual shop*](https://seeds.example.com/order)"):
+        assert frag in plan["body"]
+    # image with title attr and file nodes
+    assert '![bed layout](files/bed-layout.png "2024 layout")' in plan["body"]
+    assert "[soil test.pdf](files/soil-test-2024.pdf)" in plan["body"]
+    # backlink id collected; it resolves to the second exported note
+    assert plan["note_links"] == rows[1]["note_id"]
+    assert plan["tags"] == "garden"
+
+
+def test_real_zoho_notebook_folder():
+    from jimmy_ray.sources.folders import parse_zoho
+
+    root = DATA / "zoho_notebook"
+    files = {}
+    for p in sorted(root.iterdir()):
+        try:
+            files[p.name] = p.read_text(encoding="utf-8")
+        except UnicodeDecodeError:
+            files[p.name] = "binary"
+    rows = parse_zoho(files)
+    assert rows == _golden("zoho")
+    by_title = {r["title"]: r for r in rows}
+    # index.html and non-html members never become notes
+    assert set(by_title) == {"Viewing checklist", "Budget sheet"}
+    check = by_title["Viewing checklist"]
+    # data-notecard/-tag/-notebook/-remainder body attrs all decode
+    assert check["notebook"] == "Apartment hunt"
+    assert check["tags"] == "flat,checklist"
+    assert check["reminders"] == "2024-04-25T17:00:00+0200"
+    assert check["color"] == "#FCCE46"
+    # zohonotebook:// -> note link id; in-export img -> resource; web
+    # link stays a body link
+    assert check["note_links"] == "3100000000021007"
+    assert check["resources"] == "floorplan_v2.png"
+    assert "(https://flats.example.com/a/99218)" in check["body"]
