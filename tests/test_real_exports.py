@@ -449,3 +449,86 @@ def test_real_zoho_notebook_folder():
     assert check["note_links"] == "3100000000021007"
     assert check["resources"] == "floorplan_v2.png"
     assert "(https://flats.example.com/a/99218)" in check["body"]
+
+
+def test_real_colornote_backup():
+    from jimmy_ray.sources.colornote import parse_backup
+
+    rows = parse_backup((DATA / "colornote.backup").read_bytes())
+    assert rows == _golden("colornote")
+    by_body = {r["body"]: r for r in rows}
+    # header framing + md5-KDF AES decrypt + chunk walk over a realistic
+    # preamble (57 bytes of device/sync junk, not the synth's 12 zeros);
+    # name_master_password + syncable_settings + empty chunks skipped
+    assert len(rows) == 5
+    assert all(r["title"] != "name_master_password" for r in rows)
+    # [V]/[ ] checklists convert
+    assert rows[0]["body"].startswith("- [x] oat milk\n- [x] coffee beans")
+    # calendar note re-titled from reminder_base, utc date
+    cal = by_body["bring the insurance card"]
+    assert (cal["title"], cal["notebook"]) == ("2024-05-24", "calendar")
+    # active_state/space routing; untitled-but-nonempty note kept
+    assert by_body["hunter2-guest"]["notebook"] == "trash"
+    assert by_body["- [x] W2\n- [x] donations"]["notebook"] == "archive"
+    assert by_body["call the landlord about the boiler before Friday"]["title"] == ""
+
+
+def test_real_affine_workspace_store():
+    from jimmy_ray.sources.affine import parse_affine_store
+
+    rows = parse_affine_store((DATA / "affine_workspace.db").read_bytes())
+    assert rows == _golden("affine")
+    # page listed in meta without a block doc is skipped
+    assert [r["page_id"] for r in rows] == [
+        "page-reading-001", "page-quotes-002"]
+    reading = rows[0]
+    # YText titles/bodies decode through the from-scratch Yjs codec
+    assert reading["title"] == "Reading notes — May"
+    # 3-deep list indentation increments only through list blocks
+    assert "\n        - [ ] compare frame sizes" in reading["body"]
+    # branches the synth never takes: non-empty surface renders its
+    # placeholder; frame description joins with ': '
+    assert "Affine Surface" in reading["body"]
+    assert "Apiary sketch: two hives by the fence" in reading["body"]
+    # 3-column table with empty header row
+    assert "| hive | queen seen | notes |" in reading["body"]
+    # deleted tag id filtered; synced-doc link resolves to the live page
+    assert reading["tags"] == "books,bees"
+    assert reading["note_links"] == rows[1]["page_id"]
+
+
+def test_real_tomboy_note():
+    import xml.etree.ElementTree as ET
+
+    from jimmy_ray.sources.xmlnotes2 import TOMBOY_NS, parse_tomboy_content
+
+    root = ET.parse(DATA / "tomboy_note.note").getroot()
+    title = root.findtext(f"{{{TOMBOY_NS}}}title", "")
+    content = root.find(f"{{{TOMBOY_NS}}}text/{{{TOMBOY_NS}}}note-content")
+    body, links = parse_tomboy_content(content)
+    golden = _golden("tomboy")
+    assert [title, body, links] == [
+        golden["title"], golden["body"], golden["note_links"]]
+    # the first <underline> is the repeated title -> dropped; later
+    # underline renders ++..++ (the idx!=0 branch the synth never takes)
+    assert not body.startswith("Seed starting schedule")
+    assert "++move under lights++" in body
+    # large/huge render as bold, small passes through
+    assert "**Eight weeks out**" in body and "**Do not skip" in body
+    assert "(heat mat helps)" in body
+    assert links == ["Cold frame log", "Garden plan 2024"]
+
+
+def test_real_diaro_backup():
+    from jimmy_ray.sources.xmlnotes2 import parse_diaro
+
+    rows = parse_diaro((DATA / "diaro_backup.xml").read_bytes())
+    assert rows == _golden("diaro")
+    # date-prefixed titles; empty entry title -> bare date after strip
+    assert rows[0]["title"] == "2024-05-11 Vintgar gorge then burek"
+    assert rows[1]["title"] == "2024-05-13"
+    # folder/tag/location uid joins; unknown tag + folder degrade
+    assert (rows[0]["notebook"], rows[0]["tags"]) == ("Travel", "food,hiking")
+    assert rows[1]["tags"] == "rain"
+    assert rows[2]["notebook"] == "" and rows[2]["lat"] == ""
+    assert (rows[0]["lat"], rows[0]["lng"]) == ("46.3625", "14.0938")
