@@ -532,3 +532,51 @@ def test_real_diaro_backup():
     assert rows[1]["tags"] == "rain"
     assert rows[2]["notebook"] == "" and rows[2]["lat"] == ""
     assert (rows[0]["lat"], rows[0]["lng"]) == ("46.3625", "14.0938")
+
+
+def test_real_jrnl_export():
+    from jimmy_ray.sources.flatjson import parse_jrnl
+
+    rows = parse_jrnl((DATA / "jrnl_export.json").read_text())
+    assert rows == _golden("jrnl")
+    # date + time + sentence title concatenate; @ stripped from tags;
+    # starred entries gain the jrnl-starred pseudo-tag
+    assert rows[0]["title"] == "2024-06-02 07:45 Morning swim at the lido."
+    assert rows[0]["tags"] == "health,jrnl-starred"
+    assert rows[1]["tags"] == "work,health"
+    # body keeps inline @mentions verbatim
+    assert "@work analytics" in rows[1]["body"]
+
+
+def test_real_rednotebook_month():
+    from jimmy_ray.sources.journals import parse_month
+
+    rows = parse_month(
+        "2024-05", (DATA / "rednotebook_2024-05.txt").read_text())
+    assert rows == _golden("rednotebook")
+    # day keys -> zero-padded date titles, sorted
+    assert [r["title"] for r in rows] == [
+        "2024-05-11", "2024-05-13", "2024-05-27"]
+    # txt2tags grammar: = heading =, //italic//, **bold**, ``code``
+    assert rows[0]["body"].startswith("# Bled day trip")
+    assert "*Early* bus, **packed** boardwalks" in rows[0]["body"]
+    assert "`trip-notes.md`" in rows[0]["body"]
+    assert rows[0]["tags"] == "dayoff,travel"
+
+
+def test_real_roam_page():
+    from jimmy_ray.sources.journals import parse_roam_page
+
+    out = parse_roam_page((DATA / "roam_page.json").read_text())
+    assert out == _golden("roam")
+    body = out["body"]
+    # branches the synth never takes: the --- divider resets the outline
+    # level; {{[[DONE]]}}; block-ref embed; #[[bracketed tag]] normalizes
+    assert "\n---\n## Papers" in body
+    assert "- [x] return library books" in body
+    assert "[9qQw3bZxY](roam-block://9qQw3bZxY)" in body
+    assert "#machine-learning" in body
+    # ^^highlight^^ and __italic__ grammar
+    assert "==You can't buy the revolution.==" in body
+    assert "*Anarres*" in body
+    assert out["n_blocks"] == 8
