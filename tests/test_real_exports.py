@@ -580,3 +580,69 @@ def test_real_roam_page():
     assert "==You can't buy the revolution.==" in body
     assert "*Anarres*" in body
     assert out["n_blocks"] == 8
+
+
+def test_real_warc_gz_crawl():
+    from jimmy_ray.sources.warc import parse_warc, warc_responses_to_rows
+
+    payload = (DATA / "crawl.warc.gz").read_bytes()
+    # real CommonCrawl/wget layout: one gzip member per record, full
+    # warcinfo/request/response/metadata cycle with digest/IP headers
+    recs = parse_warc(payload)
+    assert [r["headers"].get("warc-type") for r in recs] == [
+        "warcinfo", "request", "response", "response", "response",
+        "metadata"]
+    assert recs[2]["headers"]["warc-ip-address"] == "203.0.113.80"
+    rows = warc_responses_to_rows(payload)
+    assert rows == _golden("warc")
+    # only response records yield rows; HTML converts, image yields no text
+    assert [r["status"] for r in rows] == [200, 404, 200]
+    assert rows[0]["text"].startswith("# Sourdough, start to finish")
+    assert rows[2]["text"] == ""
+
+
+def test_real_warc_tolerant_resync():
+    from jimmy_ray.sources.warc import parse_warc
+
+    import pytest as _pytest
+
+    bad = (DATA / "corrupt.warc").read_bytes()
+    with _pytest.raises(ValueError):
+        parse_warc(bad)  # strict mode aborts on the mangled record
+    recs = parse_warc(bad, strict=False)
+    kinds = [("error" if "error" in r else r["headers"].get("warc-type"))
+             for r in recs]
+    # dead-letter row for the garbage bytes, then resync at next WARC/
+    assert kinds == ["warcinfo", "error", "response"]
+    assert recs[1]["offset"] > 0
+
+
+def test_real_markup_documents():
+    """Realistic hand-written documents (not the synth templates) through
+    the eight native markup converters, pinned against audited goldens."""
+    from jimmy_ray.sources.lightmarkup import (
+        asciidoc_to_md, fountain_to_md, mediawiki_to_md)
+    from jimmy_ray.sources.pandoc_tail import djot_to_md, typst_to_md
+    from jimmy_ray.sources.texmarkup import latex_to_md, org_to_md, rst_to_md
+
+    conv = {"release-notes.adoc": asciidoc_to_md,
+            "lighthouse-wiki.mediawiki": mediawiki_to_md,
+            "coldopen.fountain": fountain_to_md,
+            "reading.org": org_to_md,
+            "api-guide.rst": rst_to_md,
+            "field-notes.tex": latex_to_md,
+            "notes.dj": djot_to_md,
+            "report.typ": typst_to_md}
+    golden = _golden("markup")
+    got = {name: fn((DATA / "markup" / name).read_text())
+           for name, fn in conv.items()}
+    assert got == golden
+    # spot checks on constructs the synth fixtures don't combine
+    assert "[the tracker](https://tracker.example.org)" in got["release-notes.adoc"]
+    assert "[Fresnel lens](https://fresnel.example.org)" in got["lighthouse-wiki.mediawiki"]
+    assert got["coldopen.fountain"].startswith("```fountain")
+    assert got["reading.org"].startswith("# Reading log")  # #+TITLE line
+    assert "```python\nclient = Client(token)" in got["api-guide.rst"]
+    assert "# Sites" in got["field-notes.tex"]  # \section
+    assert "> Block quotes work as expected." in got["notes.dj"]
+    assert got["report.typ"].count("1. ") == 2  # typst + enum items
