@@ -646,3 +646,20 @@ def test_real_markup_documents():
     assert "# Sites" in got["field-notes.tex"]  # \section
     assert "> Block quotes work as expected." in got["notes.dj"]
     assert got["report.typ"].count("1. ") == 2  # typst + enum items
+
+
+def test_real_docx_document():
+    from jimmy_ray.sources.wordproc import docx_to_markdown
+
+    md = docx_to_markdown((DATA / "hut_plan.docx").read_bytes())
+    assert md == _golden("docx")
+    # a full OPC package written the way Word writes it: rsid attrs,
+    # proofErr/bookmarkStart noise skipped, runs split mid-sentence
+    # rejoin, numeric entities decode, <w:br/> becomes a newline
+    assert md.startswith("# Hut-to-hut plan")
+    assert "Three days from Vršič over the ridge, **book the huts now**" in md
+    assert "- bring ***cash*** for the Pogačnik hut\n  - no card reader" in md
+    # hyperlink rel resolved from word/_rels/document.xml.rels, italic label
+    assert "[*the hut portal*](https://alpsguide.example.com/huts)." in md
+    assert ".\nCheck the webcam" in md  # w:br inside a run
+    assert "| **day** | **stage** | **hours** |" in md
