@@ -116,6 +116,36 @@ def zim_to_md(zim_text: str) -> str:
     return vault.restore(text)
 
 
+def parse_zim_page(page_text: str) -> dict:
+    """One Zim page file → note row (formats/zim.py:43-86 semantics):
+    the ``Key: value`` header block before the first blank line carries
+    Content-Type / Creation-Date (kept as ISO string), the body converts
+    through zim_to_md, and @-word tags are collected from the RAW body
+    (the reference scans pre-conversion text).  Files whose header block
+    doesn't parse as metadata (txt attachments) return None-title rows
+    with the whole text as body."""
+    from jimmy_ray.md.tags import get_inline_tags
+
+    created = ""
+    try:
+        metadata, _, body = page_text.split("\n\n", maxsplit=2)
+    except ValueError:
+        metadata, body = "", page_text
+    for line in metadata.split("\n"):
+        key, sep, value = line.partition(": ")
+        if not sep:  # not a metadata block: a plain txt attachment
+            body = page_text
+            created = ""
+            break
+        if key == "Creation-Date":
+            created = value
+    return {
+        "body": zim_to_md(body).strip(),
+        "created": created,
+        "tags": ",".join(get_inline_tags(body, ["@"])),
+    }
+
+
 # ===========================================================================
 # Zettelkasten BBCode (md_lib/zettelkasten.py)
 # ===========================================================================

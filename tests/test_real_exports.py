@@ -663,3 +663,102 @@ def test_real_docx_document():
     assert "[*the hut portal*](https://alpsguide.example.com/huts)." in md
     assert ".\nCheck the webcam" in md  # w:br inside a run
     assert "| **day** | **stage** | **hours** |" in md
+
+
+def test_real_zim_page():
+    from jimmy_ray.md.wikitext import parse_zim_page
+
+    row = parse_zim_page((DATA / "zim_allotment.txt").read_text())
+    assert row == _golden("zim")
+    body = row["body"]
+    # the zim header block parses out (Creation-Date kept) instead of
+    # leaking into the body like raw zim_to_md would; the title banner
+    # chunk is discarded too (title comes from the filename —
+    # reference zim.py:55 drops the middle split chunk)
+    assert row["created"] == "2024-05-11T09:12:33+02:00"
+    assert "Content-Type" not in body
+    assert "Allotment journal" not in body
+    assert body.startswith("## Beds")
+    # zim grammar: ==== headings, **bold**, //italic//, __highlight__,
+    # ''mono'', ''' code blocks ''', [*] checkboxes, tab indents,
+    # +Subpage and web links, {{image?opts}} with query-string strip
+    assert "## Beds" in body
+    assert "**broad beans** are up, *finally*" in body
+    assert "==first asparagus spears==" in body and "`14.2 °C`" in body
+    assert "- [x] net the strawberries" in body
+    assert "    - [ ] buy a new gasket" in body
+    assert "[the sub-page](+Watering)" in body
+    assert "[on the site](https://allotments.example.org/plot/17)" in body
+    assert "![sketch-2024.png](sketch-2024.png)" in body
+    assert "```\nfrost dates (last 3 years)" in body
+    assert "250m^2^" in body and "H~2~O" in body
+
+
+def test_real_cherrytree_ctd():
+    import xml.etree.ElementTree as ET
+
+    from jimmy_ray.md.cherrytree import node_to_markdown
+
+    root = ET.parse(DATA / "cherrytree_export.ctd").getroot()
+    nodes = {}
+    for node in root.findall("node"):
+        md, links = node_to_markdown(ET.tostring(node))
+        nodes[node.get("name")] = {"body": md, "links": links}
+    assert {k: {"body": v["body"], "links": [list(p) for p in v["links"]]}
+            for k, v in nodes.items()} == _golden("cherrytree")
+    bike = nodes["Bike maintenance"]["body"]
+    # rich_text attribute grammar: scale=h2/h3 headings, weight/style,
+    # monospace, unicode bullets and checkboxes, the 33-tilde hrule,
+    # webs/node links, sup/sub, strikethrough, underline
+    assert bike.startswith("## Chain care")
+    assert "replace at **0.75%**" in bike and "*never* oil over dirt" in bike
+    assert "- stem bolts: `5 Nm`" in bike
+    assert "- [ ] order spare quick links\n- [x] true the rear wheel" in bike
+    assert "\n---\n" in bike
+    assert "[the maker's page](https://bikeparts.example.com/spec/xt-m8100)" in bike
+    assert "[Wheel building](31 0)" in bike
+    assert "H~2~O" in bike and "10^th^" in bike
+    assert "~~deprecated sizes~~" in bike and "++struck from the list++" in bike
+    # node links carry the target node id for the J1-style resolution join
+    assert nodes["Bike maintenance"]["links"] == [("31", "Wheel building")]
+    # numbered 1) lists normalize to markdown in the second node
+    assert "1. lace the drive side" in nodes["Wheel building"]["body"]
+
+
+def test_real_zettelkasten_zkn3():
+    from jimmy_ray.sources.archives import parse_zkn3
+
+    rows = parse_zkn3((DATA / "zettelkasten.zkn3").read_bytes())
+    assert rows == _golden("zettelkasten")
+    claims = rows[0]
+    # BBCode grammar over a real app layout (author/keyword side files):
+    # [f]/[h]/[d] marks, [z id] note links, [code] fences, [n] lists
+    assert claims["body"].startswith("**One note, one claim.**")
+    assert "==a single==" in claims["body"]
+    assert "~~not~~" in claims["body"]
+    assert "[the review cadence](note://2)" in claims["body"]
+    assert "```\nid format: YYYYMMDDHHMM\n```" in claims["body"]
+    assert "1. capture\n1. elaborate\n1. connect" in claims["body"]
+    # keyword ids join against keywordFile.xml
+    assert claims["tags"] == "philosophy,note-taking"
+    assert claims["author"] == "Ahrens, Sönke"
+    # table with ^ header row and | cells
+    assert "| day | action |\n| --- | --- |" in rows[1]["body"]
+
+
+def test_real_bear_textbundle_backup():
+    from jimmy_ray.sources.archives import parse_textbundle
+
+    rows = parse_textbundle((DATA / "bear_backup.zip").read_bytes())
+    assert rows == _golden("textbundle")
+    dial = rows[0]
+    # bundle folder stem is the title; h1 first line is split off
+    assert dial["title"] == "Espresso dial-in log"
+    assert not dial["body"].startswith("#")
+    # bear's \# unescape happens BEFORE tag extraction — matching the
+    # reference quirk (textbundle.py:64), so "9" becomes a tag
+    assert "the #9 burr setting" in dial["body"]
+    assert dial["tags"] == "9,coffee,espresso/dialing,bear-pinned"
+    assert dial["created"] == "2024-04-07T06:55:12Z"
+    # trashed flag becomes the bear-trashed pseudo-tag
+    assert rows[1]["tags"] == "coffee,bear-trashed"
