@@ -762,3 +762,41 @@ def test_real_bear_textbundle_backup():
     assert dial["created"] == "2024-04-07T06:55:12Z"
     # trashed flag becomes the bear-trashed pseudo-tag
     assert rows[1]["tags"] == "coffee,bear-trashed"
+
+
+def test_real_signal_sqlcipher_store():
+    from jimmy_ray.sources.signal_chats import parse_signal_store
+
+    rows = parse_signal_store((DATA / "signal_store.db").read_bytes())
+    assert rows == _golden("signal")
+    ana = rows[0]
+    # real SQLCipher v4 page decrypt (PBKDF2 + per-page AES + HMAC) in
+    # front of the chat renderer; emoji group titles survive
+    assert rows[1]["title"] == "climbing crew 🧗"
+    # quoted reply renders the three-line block form
+    assert "**Ana Kovač**:\n\nyes! early though" in ana["body"]
+    # image attachment (case-insensitive suffix) vs file attachment
+    assert "![trail-status screenshot](attachments/a1b2c3.PNG)" in ana["body"]
+    assert "[vintgar.gpx](attachments/d4e5f6.gpx)" in ana["body"]
+    assert (ana["created_s"], ana["updated_s"]) == (1715690000, 1715690400)
+
+
+def test_real_qownnotes_folder():
+    from jimmy_ray.sources.markdown_folders import (
+        parse_qownnotes_tag_db, qownnotes_note_row)
+
+    root = DATA / "qownnotes"
+    tagmap = parse_qownnotes_tag_db(str(root / "notes.sqlite"))
+    rows = [qownnotes_note_row(p.stem, p.read_text(), tagmap)
+            for p in sorted(root.glob("*.md"))]
+    assert rows == _golden("qownnotes")
+    by_title = {r["title"]: r for r in rows}
+    # the real notes.sqlite schema (extra tag/link columns) reads fine;
+    # multi-tag joins collect in link order
+    assert by_title["Journal 2024-05-14"]["tags"] == "journal,admin"
+    journal = by_title["Journal 2024-05-14"]
+    # setext title block dropped; %20 note links unquote to stems;
+    # legacy <note.md> links collected; media stays a resource
+    assert not journal["body"].startswith("Journal")
+    assert journal["note_links"] == "Follow ups,Reading list"
+    assert journal["resources"] == "media/board-9841.png"
