@@ -276,8 +276,10 @@ def _code_generic(img_or_none, w: int, h: int, template: int,
             ctx = 0
             for dy, dx in pix:
                 yy, xx = y + dy, x + dx
+                # yy < h guards hostile positive-dy AT pixels (spec AT
+                # pixels only reference already-decoded rows)
                 bit = int(bm[yy, xx]) if (
-                    0 <= yy and 0 <= xx < w) else 0
+                    0 <= yy < h and 0 <= xx < w) else 0
                 ctx = (ctx << 1) | bit
             if decode:
                 bm[y, x] = coder.decode(cxs[ctx])
@@ -364,9 +366,8 @@ def decode(data: bytes) -> np.ndarray:
             tpgdon = bool(gflags & 8)
             n_at = 4 if template == 0 else 1
             at = tuple(
-                (int(np.int8(body[18 + 2 * i + 1])),
-                 int(np.int8(body[18 + 2 * i])))
-                for i in range(n_at))
+                (dy, dx) for dx, dy in struct.iter_unpack(
+                    "bb", body[18:18 + 2 * n_at]))
             mq = body[18 + 2 * n_at:]
             regions.append((x, y, decode_generic(
                 mq, w, h, template, at, tpgdon)))

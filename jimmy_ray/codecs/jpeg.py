@@ -19,6 +19,7 @@ decoded output is computed by hand.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -132,6 +133,14 @@ class _HuffTable:
             code <<= 1
 
 
+@lru_cache(maxsize=64)
+def _huff_table(counts: tuple, symbols: tuple) -> _HuffTable:
+    """Once-per-process table build: the 2×64 KB peek LUTs are costly
+    relative to the tiny per-document images pdf_image_features decodes,
+    and nearly every real stream ships the same Annex K tables."""
+    return _HuffTable(list(counts), list(symbols))
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with FF00 unstuffing
     and RSTn handling."""
@@ -229,7 +238,9 @@ def decode(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegDecodeError(f"expected marker at {pos}")
-        marker = data[pos + 1]
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # optional 0xFF fill bytes before a marker (B.1.1.2)
+        marker = data[pos + 1] if pos + 1 < len(data) else 0xD9
         pos += 2
         if marker == 0xD9:  # EOI
             break
@@ -257,7 +268,7 @@ def decode(data: bytes) -> np.ndarray:
                 n = sum(counts)
                 syms = list(seg[i:i + n])
                 i += n
-                huffs[(tc, th)] = _HuffTable(counts, syms)
+                huffs[(tc, th)] = _huff_table(tuple(counts), tuple(syms))
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
@@ -431,9 +442,7 @@ def _encode_block(bw, coeffs_zz, dc_codes, ac_codes, pred):
 def _quantize_plane(plane: np.ndarray, qt64: np.ndarray) -> np.ndarray:
     """plane (H8, W8 multiples) -> per-block zigzag quantized coeffs."""
     hh, ww = plane.shape
-    qmat = np.zeros(64)
-    qmat[ZIGZAG] = qt64
-    qmat = qmat.reshape(8, 8)
+    qmat = qt64.astype(np.float64).reshape(8, 8)  # natural-order table
     blocks = []
     for y0 in range(0, hh, 8):
         for x0 in range(0, ww, 8):
@@ -465,8 +474,9 @@ def encode(img: np.ndarray) -> bytes:
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
 
     def dqt(tq, qt):
+        # DQT payload is in zigzag order (T.81 B.2.4.1)
         return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
-            + bytes(int(x) for x in qt)
+            + bytes(int(x) for x in qt[ZIGZAG])
 
     out += dqt(0, STD_LUMA_QT)
     if not gray:

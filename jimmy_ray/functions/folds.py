@@ -11,7 +11,7 @@ the same way simsearch.dup_plane_count scales LSH planes.
 
 Results are bit-identical under any bucket count (each bucket is folded
 exactly; the bucket column is run-internal and never reaches an oracle);
-tests/test_webtext.py asserts both properties.
+tests/test_folds.py asserts both properties.
 """
 
 from __future__ import annotations

@@ -44,7 +44,10 @@ filter paths.
 
 from __future__ import annotations
 
+import math as _math
 import re
+import struct
+import zlib
 
 import pyarrow as pa
 
@@ -797,7 +800,12 @@ def extract_pdf_images(payload: bytes, password: str = "") -> list[dict]:
                     body[:h * w * n], dtype=np.uint8).reshape(h, w, n)
                 if n == 1:
                     img = img[:, :, 0]
-        except (NotImplementedError, ValueError):
+        except (NotImplementedError, ValueError, KeyError, IndexError,
+                struct.error, zlib.error):
+            # row-level fault isolation: malformed/hostile image streams
+            # surface as decoded=False rows, never batch failures — the
+            # codecs raise struct.error / KeyError / IndexError on
+            # truncated or inconsistent byte streams, not just ValueError
             rows.append(row)
             continue
         luma = img if img.ndim == 2 else (
@@ -806,7 +814,10 @@ def extract_pdf_images(payload: bytes, password: str = "") -> list[dict]:
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
             "channels": 1 if img.ndim == 2 else int(img.shape[2]),
-            "mean_luma_milli": int(round(float(luma.mean()) * 1000)),
+            # half-away-from-zero, matching DuckDB round() (CLAUDE.md
+            # rounding rule) — Python round() is half-to-even
+            "mean_luma_milli": int(_math.floor(
+                float(luma.mean()) * 1000 + 0.5)),
             "black_px": int((luma == 0).sum()),
             "decoded": True,
         })

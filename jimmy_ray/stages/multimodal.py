@@ -14,6 +14,7 @@ image records.  Checksums and sizes are oracle-checkable in SQL.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -85,8 +86,12 @@ class MediaFeatureStage:
                 heights.append(int(img.shape[0]))
                 widths.append(int(img.shape[1]))
                 decoded.append(True)
-            except NotImplementedError:
-                # deterministic fallback features (codec stubbed)
+            except (NotImplementedError, ValueError, KeyError,
+                    IndexError, struct.error):
+                # deterministic fallback features: codec stubbed OR the
+                # payload is corrupt (e.g. JPEG magic with a truncated
+                # stream raises JpegDecodeError, a ValueError) — one bad
+                # payload never fails the batch
                 widths.append(n % 640)
                 heights.append((n * 7) % 480)
                 decoded.append(False)

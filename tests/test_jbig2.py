@@ -233,3 +233,25 @@ def test_pdf_mmr_jbig2_degrades_to_undecoded():
            b"trailer << /Root 1 0 R >>\n%%EOF")
     rows = extract_pdf_images(pdf)
     assert len(rows) == 1 and rows[0]["decoded"] is False
+
+
+def test_hostile_positive_dy_at_pixel_does_not_crash():
+    # spec AT pixels only reference already-decoded rows (dy <= 0); a
+    # hostile stream may still declare dy > 0 — decode must treat the
+    # out-of-window pixel as 0, not IndexError past the bitmap
+    body = _region_body(_IMG, template=1, at=((2, 1),))
+    out = jbig2.decode(_segment(1, 39, body))
+    assert out.shape == _IMG.shape  # content may differ; no crash
+
+
+def test_truncated_segment_degrades_in_pdf():
+    from jimmy_ray.sources.pdf import extract_pdf_images
+
+    st = jbig2.encode(_IMG)[:11]  # cut inside the first segment header
+    obj = (b"4 0 obj << /Subtype /Image /Width 14 /Height 9 "
+           b"/BitsPerComponent 1 /Filter /JBIG2Decode /Length %d >>\n"
+           b"stream\n" % len(st))
+    pdf = (b"%PDF-1.4\n" + obj + st + b"\nendstream endobj\n"
+           b"trailer << /Root 1 0 R >>\n%%EOF")
+    rows = extract_pdf_images(pdf)
+    assert len(rows) == 1 and rows[0]["decoded"] is False

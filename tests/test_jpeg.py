@@ -101,8 +101,9 @@ def _build_420(y_plane: np.ndarray, cb_val: int, cr_val: int) -> bytes:
     out = bytearray(b"\xff\xd8")
 
     def dqt(tq, qt):
+        # zigzag payload order, B.2.4.1 (matches the fixed encoder)
         return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
-            + bytes(int(x) for x in qt)
+            + bytes(int(x) for x in qt[jpeg.ZIGZAG])
 
     out += dqt(0, jpeg.STD_LUMA_QT) + dqt(1, jpeg.STD_CHROMA_QT)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
@@ -193,3 +194,41 @@ def test_multimodal_dispatch_decodes_jpeg():
     assert out.shape == (9, 11) and (out == 150).all()
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_fill_bytes_before_markers_decode():
+    # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    # bytes — real scanner output embedded in PDFs has them
+    data = _handmade_gray_jpeg()
+    filled = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    filled = filled.replace(b"\xff\xc4", b"\xff\xff\xff\xff\xc4", 1)
+    img = jpeg.decode(filled)
+    assert (img == 160).all()
+
+
+def test_encoder_dqt_payload_is_zigzag_order():
+    # DQT payloads are zigzag-ordered (B.2.4.1); a spec decoder that
+    # un-zigzags must recover the natural-order Annex K matrix
+    data = jpeg.encode(np.full((8, 8), 130, np.uint8))
+    at = data.index(b"\xff\xdb")
+    payload = data[at + 5:at + 5 + 64]
+    got_natural = np.zeros(64, dtype=np.int64)
+    got_natural[jpeg.ZIGZAG] = np.frombuffer(payload, np.uint8)
+    assert (got_natural == jpeg.STD_LUMA_QT).all()
+
+
+def test_truncated_jpeg_degrades_in_media_stage():
+    import pyarrow as pa
+
+    from jimmy_ray.stages.multimodal import MediaFeatureStage
+
+    good = jpeg.encode(np.full((8, 8), 130, np.uint8))
+    corrupt = good[:18]  # JPEG magic, truncated mid-header
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["image", "image"], pa.string()),
+        "payload": pa.array([good, corrupt], pa.binary()),
+    })
+    out = MediaFeatureStage()(batch).to_pylist()
+    assert out[0]["decoded"] is True
+    assert out[1]["decoded"] is False  # fallback row, not a batch error
