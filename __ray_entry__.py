@@ -225,11 +225,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": simsearch.ann_topk,
         "embedding_ann_lsh": simsearch.ann_topk_lsh,
         "embedding_ann_ivf": simsearch.ann_topk_ivf,
-        # integer projection (a, b): the fixture's cosine>=tau pairs are
-        # exactly the replica pairs (exact-duplicate bits collide in every
-        # LSH table; seeded noise keeps replicas above tau and random
-        # 64-dim cross-pairs far below), so the pair SET is deterministic
-        # and SQL-mirrorable even though sim itself is float
+        # integer projection (a, b): the expected pair set is the replica
+        # pairs, but the replicas carry N(0, 0.01) noise so LSH recall is
+        # probabilistic (~1.3e-4 miss per pair) — rows-only check + the
+        # recall accuracy tests, never an exact SQL mirror
         "embedding_dup_pairs": lambda sf: __import__(
             "jimmy_ray.functions.simsearch", fromlist=["x"]
         ).embedding_dup_pairs(sf).map_batches(
@@ -1235,12 +1234,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.sql_dedup_clusters(),
         "near_dedup_corpus": dedup.sql_near_dedup_corpus(),
         "ann_topk": simsearch.sql_ann_topk(),
-        # the cosine>=tau pair set over the replicated corpus IS the
-        # replica pairs (see the queries() note): integer-exact mirror
-        "embedding_dup_pairs": (
-            f"SELECT vec_id AS a, vec_id + {simsearch.REPLICA_OFFSET} AS b "
-            "FROM embeddings"
-        ),
+        # embedding_dup_pairs is deliberately NOT mirrored: the replica
+        # pairs are noisy (vec + N(0, 0.01)), so LSH recall is ~1-1.3e-4
+        # per pair, not 1.0 — an exact pair-set mirror would be a seeded
+        # coin flip at larger corpora.  Float-cosine ops stay rows-only
+        # (CLAUDE.md rule); recall is pinned by accuracy tests instead
+        # (tests/test_dedup_simsearch.py:113,161).
         "multimodal_features": multimodal.sql_media_features(),
         "image_features": multimodal.sql_image_features(),
         "audio_features": multimodal.sql_audio_features(),

@@ -346,6 +346,7 @@ def decode(data: bytes) -> np.ndarray:
     regions and the text/halftone/refinement families raise
     ``NotImplementedError`` (callers report the row undecoded)."""
     page_w = page_h = None
+    page_default = 0
     regions = []
     off = 0
     while off < len(data):
@@ -357,8 +358,10 @@ def decode(data: bytes) -> np.ndarray:
             page_w, page_h = struct.unpack_from(">II", body, 0)
             if page_h == 0xFFFFFFFF:
                 page_h = None
+            # page flags (7.4.8.5): bit 2 = default pixel value
+            page_default = (body[16] >> 2) & 1 if len(body) > 16 else 0
         elif seg_type in _GENERIC_TYPES:
-            w, h, x, y, _comb = struct.unpack_from(">IIIIB", body, 0)
+            w, h, x, y, comb = struct.unpack_from(">IIIIB", body, 0)
             gflags = body[17]
             if gflags & 1:
                 raise NotImplementedError("MMR-coded generic region")
@@ -369,7 +372,7 @@ def decode(data: bytes) -> np.ndarray:
                 (dy, dx) for dx, dy in struct.iter_unpack(
                     "bb", body[18:18 + 2 * n_at]))
             mq = body[18 + 2 * n_at:]
-            regions.append((x, y, decode_generic(
+            regions.append((x, y, comb & 7, decode_generic(
                 mq, w, h, template, at, tpgdon)))
         elif seg_type in (49, 50, 51, 0):  # end-of-*, symbol dict №0
             if seg_type == 0:
@@ -380,14 +383,24 @@ def decode(data: bytes) -> np.ndarray:
     if not regions:
         raise NotImplementedError("no generic region in stream")
     if page_w is None:
-        page_w = max(x + r.shape[1] for x, _y, r in regions)
+        page_w = max(x + r.shape[1] for x, _y, _c, r in regions)
     if page_h is None:
-        page_h = max(y + r.shape[0] for _x, y, r in regions)
-    page = np.zeros((page_h, page_w), np.uint8)
-    for x, y, r in regions:
-        h, w = r.shape
-        page[y:y + h, x:x + w] |= r[:max(0, page_h - y),
-                                    :max(0, page_w - x)]
+        page_h = max(y + r.shape[0] for _x, y, _c, r in regions)
+    page = np.full((page_h, page_w), page_default, np.uint8)
+    for x, y, comb, r in regions:
+        src = r[:max(0, page_h - y), :max(0, page_w - x)]
+        dst = page[y:y + src.shape[0], x:x + src.shape[1]]
+        # external combination operator (7.4.1.5): OR/AND/XOR/XNOR/REPLACE
+        if comb == 1:
+            dst &= src
+        elif comb == 2:
+            dst ^= src
+        elif comb == 3:
+            dst[:] = 1 - (dst ^ src)
+        elif comb == 4:
+            dst[:] = src
+        else:
+            dst |= src
     return page
 
 

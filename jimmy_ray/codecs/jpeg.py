@@ -289,6 +289,13 @@ def decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise JpegDecodeError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # legal baseline, but the single-pass interleaved decoder
+                # below would silently leave the other components zero —
+                # raise so PDF rows degrade to decoded=False, never
+                # silently-wrong features
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG")
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -448,25 +448,35 @@ def tw_split_tags(tag_string: str) -> list[str]:
     ['tag1', 'tag2', 'tag with spaces']
     >>> tw_split_tags("")
     []
+    >>> tw_split_tags("alpha [[work notes")   # truncated/hand-edited
+    ['alpha', 'work notes']
+    >>> tw_split_tags("[[]] beta")            # empty bracket pair
+    ['beta']
     """
     if not tag_string.strip():
         return []
     out: list[str] = []
-    pending = ""
+    pending: str | None = None
     for part in tag_string.split(" "):
-        if pending:
+        if pending is not None:
             if part.endswith("]]"):
-                out.append(pending + " " + part[:-2])
-                pending = ""
+                tag = (pending + " " + part[:-2]).strip()
+                if tag:
+                    out.append(tag)
+                pending = None
             else:
                 pending += " " + part
         elif part.startswith("[["):
-            if part.endswith("]]") and len(part) > 4:
-                out.append(part[2:-2])
+            if part.endswith("]]"):
+                if len(part) > 4:
+                    out.append(part[2:-2])
+                # `[[]]` → empty pair, dropped
             else:
                 pending = part[2:]
         elif part:
             out.append(part)
+    if pending is not None and pending.strip():
+        out.append(pending.strip())  # unterminated bracket: keep the tag
     return out
 
 

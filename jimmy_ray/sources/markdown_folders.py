@@ -34,8 +34,10 @@ MARKDOWN_LINK_SUFFIXES = MARKDOWN_SUFFIXES + ("",)
 QOWNNOTE_LINK_RE = re.compile(r"<(.*?.md)>")
 _FM_TAGS_RE = re.compile(r"^tags:\s*\[([^\]]*)\]\s*$", re.M)
 # real Obsidian property serialization: a block list under ``tags:``
-# (reference parses full YAML via python-frontmatter, obsidian.py:59-61)
-_FM_TAGS_BLOCK_RE = re.compile(r"^tags:[ \t]*\n((?:[ \t]+-[^\n]*(?:\n|$))+)",
+# (reference parses full YAML via python-frontmatter, obsidian.py:59-61);
+# items may be indented OR flush-left — both are valid YAML and real
+# exports contain both
+_FM_TAGS_BLOCK_RE = re.compile(r"^tags:[ \t]*\n((?:[ \t]*-[^\n]*(?:\n|$))+)",
                                re.M)
 
 

@@ -342,7 +342,10 @@ def polygon_count_partial_batch(batch: pa.Table) -> pa.Table:
     joined = spatial_join_batch(batch)
     ids = joined["polygon_id"].to_numpy(zero_copy_only=False)
     uniq, counts = np.unique(ids, return_counts=True)
-    return pa.table({"polygon_id": pa.array(uniq),
+    # explicit string type: an all-miss batch yields an empty object
+    # array, which untyped pa.array() infers as null and breaks schema
+    # unification downstream
+    return pa.table({"polygon_id": pa.array(uniq, pa.string()),
                      "p_n": pa.array(counts, pa.int64())})
 
 

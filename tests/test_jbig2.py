@@ -255,3 +255,32 @@ def test_truncated_segment_degrades_in_pdf():
            b"trailer << /Root 1 0 R >>\n%%EOF")
     rows = extract_pdf_images(pdf)
     assert len(rows) == 1 and rows[0]["decoded"] is False
+
+
+def test_page_default_pixel_one():
+    # page flags bit 2: default pixel value 1 — pixels outside regions
+    # must be black, not the zeros the fixture encoder always implies
+    page_info = struct.pack(">IIIIBH", 20, 12, 0, 0, 0x04, 0)
+    body = _region_body(_IMG, x=2, y=1)
+    body = body[:16] + b"\x04" + body[17:]  # REPLACE onto the 1s page
+    st = _segment(1, 48, page_info) + _segment(2, 39, body)
+    page = jbig2.decode(st)
+    assert page[0].all() and page[:, 0].all()  # default-1 border
+    assert page[11].all() and page[:, 17:].all()
+    assert np.array_equal(page[1:10, 2:16], _IMG)  # replaced interior
+
+
+def test_region_combination_operators():
+    ones = np.ones((9, 14), np.uint8)
+    page_info = struct.pack(">IIIIBH", 14, 9, 0, 0, 0x04, 0)  # default 1
+    for comb, expect in ((1, _IMG),              # AND with 1s → img
+                         (2, 1 - _IMG),          # XOR with 1s → ~img
+                         (3, _IMG),              # XNOR with 1s → img
+                         (4, _IMG)):             # REPLACE → img
+        body = _region_body(_IMG)
+        # patch the external-combination byte (offset 16 of region info)
+        body = body[:16] + bytes([comb]) + body[17:]
+        page = jbig2.decode(_segment(1, 48, page_info)
+                            + _segment(2, 39, body))
+        assert np.array_equal(page, expect), comb
+    del ones

@@ -232,3 +232,17 @@ def test_truncated_jpeg_degrades_in_media_stage():
     out = MediaFeatureStage()(batch).to_pylist()
     assert out[0]["decoded"] is True
     assert out[1]["decoded"] is False  # fallback row, not a batch error
+
+
+def test_multi_scan_rejected_not_silently_wrong():
+    # a color SOS declaring fewer components than the frame would leave
+    # chroma planes zero — must raise, so PDF rows degrade to
+    # decoded=False instead of emitting wrong features
+    data = bytearray(jpeg.encode(np.zeros((8, 8, 3), np.uint8)))
+    i = data.find(b"\xff\xda")
+    seglen = struct.unpack(">H", data[i + 2:i + 4])[0]
+    # rewrite SOS to a single-component scan (Y only)
+    new_sos = bytes([1, 1, 0x00, 0, 63, 0])
+    data[i + 2:i + 2 + seglen] = struct.pack(">H", len(new_sos) + 2) + new_sos
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        jpeg.decode(bytes(data))

@@ -44,6 +44,11 @@ def test_every_query_has_oracle_or_is_documented():
         "embedding_dedup_corpus", "fuzzy_title_match",
         "approx_distinct_tokens", "heavy_hitter_tokens",
         "doc_length_quantiles",  # mergeable sketch: approximate by design
+        # LSH over noisy replicas: per-pair miss ~1.3e-4, so an exact
+        # pair-set mirror is a seeded coin flip — recall accuracy tests
+        # in test_dedup_simsearch.py pin it instead (CLAUDE.md rule:
+        # float-cosine ops stay rows-only)
+        "embedding_dup_pairs",
     }
     assert missing <= allowed_without_oracle, f"queries missing oracles: {missing}"
 

@@ -184,3 +184,15 @@ def test_roam(src, expected):
                          ids=range(len(COLORNOTE_CASES)))
 def test_colornote(src, expected):
     assert colornote_to_md(src) == expected
+
+
+def test_tw_split_tags_edges():
+    from jimmy_ray.md.wikitext import tw_split_tags
+
+    assert tw_split_tags("tag1 tag2 [[tag with spaces]]") == [
+        "tag1", "tag2", "tag with spaces"]
+    # unterminated bracket (truncated/hand-edited export): tag kept
+    assert tw_split_tags("alpha [[work notes") == ["alpha", "work notes"]
+    # empty bracket pair never corrupts the following tag
+    assert tw_split_tags("[[]] beta") == ["beta"]
+    assert tw_split_tags("  ") == []
