@@ -800,3 +800,13 @@ def test_real_qownnotes_folder():
     assert not journal["body"].startswith("Journal")
     assert journal["note_links"] == "Follow ups,Reading list"
     assert journal["resources"] == "media/board-9841.png"
+
+
+def test_zim_plain_txt_attachment_branch():
+    from jimmy_ray.md.wikitext import parse_zim_page
+
+    # a .txt attachment in the notebook folder has no metadata block:
+    # the whole text stays the body (reference zim.py:60-65 debug path)
+    row = parse_zim_page("just a plain text attachment\n\nwith two parts")
+    assert row["body"] == "just a plain text attachment\n\nwith two parts"
+    assert row["created"] == "" and row["tags"] == ""
