@@ -362,6 +362,10 @@ def decode(data: bytes) -> np.ndarray:
             page_default = (body[16] >> 2) & 1 if len(body) > 16 else 0
         elif seg_type in _GENERIC_TYPES:
             w, h, x, y, comb = struct.unpack_from(">IIIIB", body, 0)
+            if w * h > 100_000_000:
+                # hostile/corrupt u32 dimensions: refuse before the
+                # bitmap allocation OOMs a shared worker
+                raise ValueError(f"region too large ({w}x{h})")
             gflags = body[17]
             if gflags & 1:
                 raise NotImplementedError("MMR-coded generic region")
@@ -386,6 +390,8 @@ def decode(data: bytes) -> np.ndarray:
         page_w = max(x + r.shape[1] for x, _y, _c, r in regions)
     if page_h is None:
         page_h = max(y + r.shape[0] for _x, y, _c, r in regions)
+    if page_w * page_h > 400_000_000:
+        raise ValueError(f"page too large ({page_w}x{page_h})")
     page = np.full((page_h, page_w), page_default, np.uint8)
     for x, y, comb, r in regions:
         src = r[:max(0, page_h - y), :max(0, page_w - x)]

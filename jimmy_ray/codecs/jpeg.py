@@ -274,6 +274,11 @@ def decode(data: bytes) -> np.ndarray:
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if h * w > 100_000_000:
+                # hostile/corrupt dimensions: refuse before allocating
+                # multi-GB planes inside a shared worker (the PDF layer
+                # degrades this to a decoded=False row)
+                raise JpegDecodeError(f"image too large ({w}x{h})")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
