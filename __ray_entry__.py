@@ -83,6 +83,7 @@ _WINDOW_DEMOTE = (
     "typst_extract",
     "endnote_extract",
     "pdf_jbig2_features",
+    "mhtml_extract",
 )
 
 
@@ -272,6 +273,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "eml_extract": lambda sf: __import__(
             "jimmy_ray.sources.eml", fromlist=["x"]
         ).eml_extract(sf),
+        # MHTML web archives route through the same MIME walk
+        # (converter.py:265-267 "eml" | "mht" | "mhtml")
+        "mhtml_extract": lambda sf: __import__(
+            "jimmy_ray.sources.eml", fromlist=["x"]
+        ).mhtml_extract(sf),
         "xml_notes_extract": lambda sf: __import__(
             "jimmy_ray.sources.xmlnotes", fromlist=["x"]
         ).xml_notes_extract(sf),
@@ -890,6 +896,9 @@ def oracle_sql() -> dict[str, str]:
         "eml_extract": __import__(
             "jimmy_ray.sources.eml", fromlist=["x"]
         ).sql_eml_extract(),
+        "mhtml_extract": __import__(
+            "jimmy_ray.sources.eml", fromlist=["x"]
+        ).sql_mhtml_extract(),
         "xml_notes_extract": __import__(
             "jimmy_ray.sources.xmlnotes", fromlist=["x"]
         ).sql_xml_notes_extract(),

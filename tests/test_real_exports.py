@@ -810,3 +810,21 @@ def test_zim_plain_txt_attachment_branch():
     row = parse_zim_page("just a plain text attachment\n\nwith two parts")
     assert row["body"] == "just a plain text attachment\n\nwith two parts"
     assert row["created"] == "" and row["tags"] == ""
+
+
+def test_real_mhtml_saved_page():
+    from jimmy_ray.sources.eml import parse_mhtml
+
+    row = parse_mhtml((DATA / "saved_page.mhtml").read_bytes())
+    assert row == _golden("mhtml")
+    # Chrome Save-as-MHTML shape: Saved-by-Blink headers, folded
+    # multipart/related Content-Type, RFC 2047 subject, QP-encoded root
+    assert row["location"].endswith("/fermentation-basics")
+    assert row["title"] == "Fermentation basics — a field guide"
+    assert row["body"].startswith("# Fermentation basics")
+    # QP soft breaks rejoin mid-word; numeric entities decode
+    assert "keep everything **below the brine**" in row["body"]
+    assert "18 °C" in row["body"]
+    # css + image subresources collected (reference resource branch);
+    # the root html frame itself never becomes a resource
+    assert row["resources"] == "main.css,kraut-jar.jpg"
